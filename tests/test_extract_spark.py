@@ -1,0 +1,115 @@
+"""Distributed-vs-oracle equality: the Spark pipeline's per-turn
+Markdown must be byte-equal to the pure-Python kernel oracle run on the
+driver, for every payload case, under stable (conv_id, turn_idx) order.
+"""
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from tool_documentsconverter_spark import kernels as K
+from tool_documentsconverter_spark.functions.sniff import sniff_format as sniff_col
+from tool_documentsconverter_spark.functions.markdown import wrap_turn_md
+from tool_documentsconverter_spark.operators.extract import extract
+from tool_documentsconverter_spark.sources.transcripts import synth_transcripts
+
+N_TURNS = 300
+
+
+@pytest.fixture(scope="module")
+def transcripts(spark):
+    df = synth_transcripts(spark, N_TURNS)
+    df.cache().count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def extracted(transcripts):
+    out = extract(transcripts, hint_col="fmt_hint")
+    out.cache().count()
+    return out
+
+
+def test_synth_shape(transcripts):
+    rows = transcripts.collect()
+    assert len(rows) == N_TURNS
+    # contiguous turn_idx per conversation
+    by_conv = {}
+    for r in rows:
+        by_conv.setdefault(r.conv_id, []).append(r.turn_idx)
+    for conv, idxs in by_conv.items():
+        assert sorted(idxs) == list(range(len(idxs))), conv
+    # oversized conversation exists (~30%)
+    assert len(by_conv["conv-00000"]) >= 0.25 * N_TURNS
+
+
+def test_extract_matches_oracle_per_turn(spark, transcripts, extracted):
+    result = {(r.conv_id, r.turn_idx): r for r in extracted.collect()}
+    inputs = transcripts.collect()
+    assert len(result) == len(inputs)
+    for r in inputs:
+        md, status, message = K.extract_turn(
+            r.conv_id, r.turn_idx, r.text, fmt_hint=r.fmt_hint
+        )
+        got = result[(r.conv_id, r.turn_idx)]
+        assert got.md == md, (r.conv_id, r.turn_idx, r.fmt_hint)
+        assert got.status == status
+        assert got.message == message
+
+
+def test_all_payload_cases_present(extracted):
+    fmts = {r.fmt for r in extracted.select("fmt").distinct().collect()}
+    assert {"text", "pdf", "docx", "html", "unknown"} <= fmts
+
+
+def test_failed_rows_isolated_not_fatal(extracted):
+    counts = {r.status: r.cnt for r in
+              extracted.groupBy("status").agg(F.count("*").alias("cnt")).collect()}
+    assert counts.get("failed", 0) > 0      # P9 rows failed...
+    assert counts.get("ok", 0) > 0          # ...but the job completed
+
+
+def test_column_wrap_matches_kernel_wrap(spark):
+    """The codegen'd pure-column emitter must be byte-identical to the
+    Python kernel for the E8 template."""
+    rows = [("conv-1", 0, "hello\nworld"), ("c/2", 3, ""), ("c", 7, "中文 🚀")]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    got = df.select(
+        "conv_id", "turn_idx",
+        wrap_turn_md(F.col("conv_id"), F.col("turn_idx"), F.col("text")).alias("md"),
+    ).collect()
+    expected = {
+        (c, t): K.wrap_text_md(K.turn_stem(c, t), x) for c, t, x in rows
+    }
+    for r in got:
+        assert r.md == expected[(r.conv_id, r.turn_idx)]
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    payload=st.text(max_size=200),
+    hint=st.sampled_from(["", "text", "pdf", "docx", "html", "doc", "xlsx"]),
+)
+def test_sniff_hypothesis_collects(payload, hint):
+    """Property cases feed the batch equality check below."""
+    _SNIFF_CASES.append((payload, hint))
+
+
+_SNIFF_CASES = [
+    ("%PDF-1.4", ""),
+    ("  <!doctype HTML>", ""),
+    ('<?xml?><w:document xmlns:w="x"><w:body/></w:document>', ""),
+    ("<?xml?><note>hi</note>", ""),
+    ("plain", "doc"),
+    ("plain", "html"),
+]
+
+
+def test_sniff_batch(spark):
+    df = spark.createDataFrame(_SNIFF_CASES, "text string, fmt_hint string")
+    got = df.select("text", "fmt_hint",
+                    sniff_col(F.col("text"), F.col("fmt_hint")).alias("fmt")).collect()
+    for r in got:
+        assert r.fmt == K.sniff_format(r.text, r.fmt_hint), (r.text[:40], r.fmt_hint)

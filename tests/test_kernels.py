@@ -1,0 +1,260 @@
+"""Golden byte-equality tests for every emission path of the engine.
+
+Expected strings are hand-derived from the REFERENCE templates
+(file:line cited per test), not from running the kernels — so a kernel
+bug cannot self-certify.
+"""
+
+import pytest
+
+from tool_documentsconverter_spark import kernels as K
+from tool_documentsconverter_spark.sources import transcripts as S
+
+
+# ---------------------------------------------------------------- E8 wrap
+def test_wrap_text_md_exact():
+    # doc_to_md/pdf_converter.py:30-35 template
+    assert K.wrap_text_md("document", "hello\nworld") == (
+        "# document\n\n```text\nhello\nworld\n```\n"
+    )
+
+
+def test_wrap_empty_text_still_wraps():
+    # empty extract still produces the frame (pdfminer empty text case)
+    assert K.wrap_text_md("d", "") == "# d\n\n```text\n\n```\n"
+
+
+# ---------------------------------------------------------- F8 sanitize
+@pytest.mark.parametrize(
+    "raw,expected",
+    [
+        ('a/b\\c:d*e?f"g<h>i|j', "a_b_c_d_e_f_g_h_i_j"),
+        ("  spaced  ", "spaced"),
+        ("   ", "document"),
+        ("///", "___"),  # underscores are not stripped -> non-empty
+    ],
+)
+def test_sanitize_stem(raw, expected):
+    # doc_to_md/main.py:244-249
+    assert K.sanitize_stem(raw) == expected
+
+
+def test_sanitize_sheet_default():
+    # xlsx_to_csv/main.py:64-67 default "sheet"
+    assert K.sanitize_stem(" ", default="sheet") == "sheet"
+
+
+def test_turn_stem():
+    assert K.turn_stem("conv-00003", 12) == "conv-00003_00012"
+    assert K.turn_stem("conv:bad*id", 0) == "conv_bad_id_00000"
+
+
+# ------------------------------------------------------------- sniffing
+@pytest.mark.parametrize(
+    "payload,hint,expected",
+    [
+        ("%PDF-1.4\nxx", "", K.FMT_PDF),
+        ('<?xml version="1.0"?><w:document xmlns:w="x"><w:body/></w:document>', "", K.FMT_DOCX),
+        ("<!DOCTYPE html><html></html>", "", K.FMT_HTML),
+        ("  <HTML><body>x</body></HTML>", "", K.FMT_HTML),
+        ("plain words", "", K.FMT_TEXT),
+        ("plain words", "text", K.FMT_TEXT),
+        ("plain words", "html", K.FMT_HTML),  # hint wins when no magic
+        ("\x00junk", "doc", K.FMT_UNKNOWN),  # unknown hint, no magic
+        (None, "", K.FMT_UNKNOWN),
+    ],
+)
+def test_sniff_format(payload, hint, expected):
+    assert K.sniff_format(payload, hint) == expected
+
+
+# ------------------------------------------------- E4 heading classifier
+@pytest.mark.parametrize(
+    "style,level",
+    [
+        ("Heading 1", 1),
+        ("Heading 2", 2),
+        ("Heading 3", 3),
+        ("Heading 4", 1),  # the quirk: collapses to level 1
+        ("Heading 9", 1),
+        ("HeadingX", 1),   # startswith('Heading') is the whole check
+        ("Title", None),
+        ("Normal", None),
+    ],
+)
+def test_heading_level(style, level):
+    # docx_converter.py:79-85
+    assert K.heading_level(style) == level
+
+
+def test_docx_headings_golden():
+    md = K.convert_docx_xml("stem7", S._DOCX_HEADINGS.replace("{i}", "7"))
+    assert md == (
+        "# stem7\n\n"
+        "# Intro 7\n\n"
+        "Body paragraph 7 with two runs.\n\n"
+        "## Methods\n\n"
+        "### Details\n\n"
+        "# Deep section\n\n"          # Heading 4 -> level 1 quirk
+        "A title-styled line\n\n"     # Title is not a Heading
+    )
+
+
+def test_docx_blank_paragraphs_dropped():
+    # docx_converter.py:75-77
+    md = K.convert_docx_xml("s", S._DOCX_BLANKS.replace("{i}", "3"))
+    assert md == "# s\n\nfirst 3\n\nlast 3\n\n"
+
+
+def test_docx_tables_golden():
+    # docx_converter.py:89-96: leading '\n|', rows 'c1|c2|', trailing
+    # '\n', NO header-separator row, tables AFTER all paragraphs
+    md = K.convert_docx_xml("s", S._DOCX_TABLES.replace("{i}", "3"))
+    assert md == (
+        "# s\n\n"
+        "Before tables 3\n\n"
+        "Between 3\n\n"               # paragraph between tables hoisted
+        "\n|a|pipe|b|\n"             # cells stripped; pipe in cell kept
+        "c|d|\n"
+        "e|f|\n"
+        "\n"
+        "\n|solo|\n"
+        "\n"
+    )
+
+
+def test_docx_raw_xml_fallback_golden():
+    # docx_converter.py:168-176: every }t text joined with '\n',
+    # no trailing newline; empty <w:t/> skipped (elem.text is None)
+    md = K.convert_docx_xml("s", S._DOCX_RAW.replace("{i}", "5"))
+    assert md == "# s\n\nloose run 5\nsecond run"
+
+
+# -------------------------------------------------------------- E1 pdf
+def test_pdf_extract_golden():
+    md = K.convert_pdf("s", S.make_pdf(6))
+    assert md == (
+        "# s\n\n```text\n"
+        "Page one line 6\nsecond (escaped) line"
+        "\n\n"
+        "Page two of turn 6"
+        "\n```\n"
+    )
+
+
+def test_pdf_no_streams_is_empty_wrap():
+    assert K.convert_pdf("s", "%PDF-1.4\n%%EOF\n") == "# s\n\n```text\n\n```\n"
+
+
+# -------------------------------------------------------------- M4 html
+def test_html_golden():
+    md = K.convert_html("s", S._HTML.replace("{i}", "7"))
+    assert md == (
+        "# s\n\n"
+        "# Article 7\n\n"
+        "Main content paragraph 7 long enough to keep.\n\n"
+        "- alpha 7\n"
+        "- beta\n"
+        "\n"
+        "```text\ncode 7\nline2\n```\n\n"
+    )
+
+
+def test_html_link_heavy_block_dropped():
+    html = '<html><body><p><a href="x">only links here</a></p></body></html>'
+    assert K.convert_html("s", html) == "# s\n\n"
+
+
+def test_html_nav_and_footer_stripped():
+    html = (
+        "<html><body><nav><p>menu</p></nav><p>keep me</p>"
+        "<footer><p>legal</p></footer></body></html>"
+    )
+    assert K.convert_html("s", html) == "# s\n\nkeep me\n\n"
+
+
+# ---------------------------------------------------------- E9/F7 csv
+def test_csv_crlf_and_stringify():
+    # xlsx_to_csv/main.py:94-104: None->"", str(v), csv default dialect
+    # (CRLF terminator, minimal quoting)
+    text = K.sheet_to_csv_text([[1, "a", None], [True, 2.5, "x,y"]])
+    assert text == '1,a,\r\nTrue,2.5,"x,y"\r\n'
+
+
+def test_workbook_multisheet_naming():
+    # xlsx_to_csv/main.py:139-147
+    import json
+    wb = json.dumps({"sheets": [
+        {"name": "Sheet1", "rows": [["a"]]},
+        {"name": "数据", "rows": [["b"]]},
+        {"name": "a/b:c", "rows": [["c"]]},
+    ]})
+    out = K.convert_workbook("book", wb)
+    assert [n for n, _ in out] == [
+        "book__Sheet1.csv", "book__数据.csv", "book__a_b_c.csv"
+    ]
+    wb1 = json.dumps({"sheets": [{"name": "Only", "rows": [["z"]]}]})
+    assert [n for n, _ in K.convert_workbook("book", wb1)] == ["book.csv"]
+
+
+def test_workbook_sheet_select_and_missing():
+    import json
+    wb = json.dumps({"sheets": [
+        {"name": "A", "rows": [["1"]]}, {"name": "B", "rows": [["2"]]}
+    ]})
+    out = K.convert_workbook("book", wb, sheet="B")
+    assert out == [("book.csv", "2\r\n")]
+    with pytest.raises(ValueError):  # xlsx_to_csv/main.py:126-132
+        K.convert_workbook("book", wb, sheet="Z")
+
+
+# ------------------------------------------------------------- D2 gate
+@pytest.mark.parametrize(
+    "md,ok",
+    [(None, False), ("", False), ("   \n\t ", False), ("x", True),
+     (" " * 1024 + "x", False)],  # first-1KB-only check, as in reference
+)
+def test_verify_markdown(md, ok):
+    # delete_manager.py:102-130
+    assert K.verify_markdown(md) is ok
+
+
+# ------------------------------------------------- dispatch + isolation
+def test_extract_turn_ok_paths():
+    md, status, msg = K.extract_turn("c", 1, "hello")
+    assert status == K.OK and md.startswith("# c_00001\n\n```text\n")
+
+    md, status, _ = K.extract_turn("c", 2, S.make_pdf(0))
+    assert status == K.OK and "Page one line 0" in md
+
+
+def test_extract_turn_unsupported_fails_isolated():
+    md, status, msg = K.extract_turn("c", 3, "\x00garbage", fmt_hint="doc")
+    assert status == K.FAILED
+    assert "doc" in msg
+    assert md.startswith("# c_00003\n\n")  # error-artifact md still emitted
+
+
+def test_extract_turn_blank_text_fails_verify():
+    # P2: wrap of whitespace-only text still yields non-blank md (the
+    # frame has '# stem'), so it is OK; a truly blank md only arises
+    # from kernel output — verify the gate wiring via convert result
+    md, status, _ = K.extract_turn("c", 4, " \n ")
+    assert status == K.OK  # frame makes it non-blank, like reference
+
+    # malformed XML -> failed, job not aborted
+    md, status, msg = K.extract_turn(
+        "c", 5, '<?xml version="1.0"?><w:document xmlns:w="x"><unclosed>'
+    )
+    assert status == K.FAILED and msg
+
+
+def test_message_tail_truncation():
+    # doc_to_md/main.py:375-376: last 1200 chars kept
+    class Boom(Exception):
+        pass
+
+    long = "x" * 5000
+    md, status, msg = K.extract_turn("c", 6, "<?xml " + long, fmt_hint="")
+    assert status == K.FAILED
+    assert len(msg) <= K.MESSAGE_TAIL

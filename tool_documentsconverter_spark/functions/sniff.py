@@ -1,0 +1,37 @@
+"""Vectorized (Catalyst/codegen) format detection.
+
+North-star upgrade of the reference's suffix dispatch
+(doc_to_md/main.py:184-192): dispatch on payload magic prefixes,
+metadata `fmt` column only as tiebreak.  Kept as Column expressions so
+the dispatch participates in pushdown/pruning and costs zero Python.
+Must stay semantics-identical to kernels.sniff_format (tested by
+hypothesis round-trip in tests/test_extract_spark.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..kernels import FMT_DOCX, FMT_HTML, FMT_PDF, FMT_TEXT, FMT_UNKNOWN, KNOWN_FMTS
+
+
+def sniff_format(text: Column, fmt_hint: Column | None = None) -> Column:
+    head = F.substring(text, 1, 512)
+    stripped = F.ltrim(head)
+    low = F.lower(F.substring(stripped, 1, 64))
+    hint = fmt_hint if fmt_hint is not None else F.lit("")
+    hint = F.coalesce(hint, F.lit(""))
+
+    is_xmlish = stripped.startswith("<?xml") | stripped.startswith("<w:document")
+    return (
+        F.when(text.isNull(), F.lit(FMT_UNKNOWN))
+        .when(head.startswith("%PDF-"), F.lit(FMT_PDF))
+        .when(is_xmlish & head.contains("<w:"), F.lit(FMT_DOCX))
+        .when(is_xmlish & low.contains("<html"), F.lit(FMT_HTML))
+        .when(is_xmlish, F.lit(FMT_UNKNOWN))
+        .when(low.startswith("<!doctype") | low.startswith("<html"), F.lit(FMT_HTML))
+        .when(hint.isin(*KNOWN_FMTS), hint)
+        .when(hint != "", F.lit(FMT_UNKNOWN))
+        .otherwise(F.lit(FMT_TEXT))
+    )

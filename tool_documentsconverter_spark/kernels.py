@@ -1,0 +1,556 @@
+"""Pure-Python extraction kernels — the single source of truth for
+per-format conversion semantics.
+
+These functions are imported BOTH by the Spark executors (inside the
+Arrow-batch extraction stage, ``operators/extract.py``) and by the
+driver-side oracle used in tests, so the distributed pipeline and the
+reference semantics cannot drift apart.  Every template below is a
+transcription of a cited behavior of the reference repo
+(``EarthTan/tool-documentsConverter``, read-only at /root/reference) —
+see the per-function docstrings for file:line citations.
+
+Nothing in this module touches Spark: plain str -> str functions over
+one logical "document" (a transcript turn's payload).  Vectorization
+happens one level up (Arrow batches); these kernels are cheap
+stdlib-only string/XML work, so per-element calls inside a batch are
+fine (the expensive boundary — Python<->JVM — is already amortized).
+"""
+
+from __future__ import annotations
+
+import csv
+import io
+import json
+import re
+import xml.etree.ElementTree as ET
+from dataclasses import dataclass
+from html.parser import HTMLParser
+from typing import List, Optional, Tuple
+
+# --------------------------------------------------------------------------
+# Status vocabulary (mirror of TaskResult.status, doc_to_md/main.py:48-56)
+# --------------------------------------------------------------------------
+OK = "ok"
+SKIPPED = "skipped"
+FAILED = "failed"
+
+# message tails: stderr/stdout kept to last 1200/600 chars
+# (doc_to_md/main.py:375-376)
+MESSAGE_TAIL = 1200
+
+_SANITIZE_CHARS = ['/', '\\', ':', '*', '?', '"', '<', '>', '|']
+
+
+def sanitize_stem(name: str, default: str = "document") -> str:
+    """Filename-sanitize: replace ``/\\:*?"<>|`` with ``_``, strip,
+    fall back to a default.  Reference: ``safe_stem``
+    (doc_to_md/main.py:244-249) and ``_sanitize_filename``
+    (xlsx_to_csv/main.py:64-67, default "sheet")."""
+    s = name
+    for ch in _SANITIZE_CHARS:
+        s = s.replace(ch, "_")
+    return s.strip() or default
+
+
+def turn_stem(conv_id: str, turn_idx: int) -> str:
+    """Title key for a transcript turn.  The reference titles output by
+    file stem (e.g. pdf_converter.py:32); rows in a table have no file,
+    so the pinned convention (FIXTURES.md §1) is
+    ``{conv_id}_{turn_idx:05d}`` run through the sanitizer."""
+    return sanitize_stem(f"{conv_id}_{turn_idx:05d}")
+
+
+# --------------------------------------------------------------------------
+# Format sniffing (north_star upgrade of the reference's suffix dispatch,
+# doc_to_md/main.py:184-192: byte-stream magic instead of file suffix)
+# --------------------------------------------------------------------------
+FMT_TEXT = "text"
+FMT_PDF = "pdf"
+FMT_DOCX = "docx"
+FMT_HTML = "html"
+FMT_UNKNOWN = "unknown"
+
+KNOWN_FMTS = (FMT_TEXT, FMT_PDF, FMT_DOCX, FMT_HTML)
+
+
+def sniff_format(payload: str, fmt_hint: str = "") -> str:
+    """Magic-prefix format detection over a text payload.
+
+    ``%PDF-`` -> pdf; OOXML (``<?xml``/``<w:document``) -> docx;
+    ``<html``/``<!doctype`` (case-insensitive, leading ws ignored)
+    -> html; otherwise the metadata hint column wins if it names a
+    known format (suffix-dispatch fallback, doc_to_md/main.py:184-192);
+    else plain text.
+    """
+    if payload is None:
+        return FMT_UNKNOWN
+    head = payload[:512]
+    if head.startswith("%PDF-"):
+        return FMT_PDF
+    stripped = head.lstrip()
+    low = stripped[:64].lower()
+    if stripped.startswith("<?xml") or stripped.startswith("<w:document"):
+        if "<w:" in head:
+            return FMT_DOCX
+        return FMT_HTML if "<html" in low else FMT_UNKNOWN
+    if low.startswith("<!doctype") or low.startswith("<html"):
+        return FMT_HTML
+    if fmt_hint in KNOWN_FMTS:
+        return fmt_hint
+    if fmt_hint and fmt_hint not in KNOWN_FMTS and fmt_hint != "":
+        # unknown declared format, unknown magic -> unsupported
+        # (mirror of ValueError path, doc_to_md/main.py:192)
+        return FMT_UNKNOWN
+    return FMT_TEXT
+
+
+# --------------------------------------------------------------------------
+# E8 — plain-text -> Markdown wrap
+# --------------------------------------------------------------------------
+def wrap_text_md(stem: str, text: str) -> str:
+    """``# {stem}\\n\\n```text\\n{text}\\n```\\n`` — exact template of
+    doc_to_md/pdf_converter.py:30-35 / doc_to_md/main.py:395-403 /
+    docx_converter.py:124-133 (the fenced-code plain-text wrap)."""
+    return f"# {stem}\n\n```text\n{text}\n```\n"
+
+
+# --------------------------------------------------------------------------
+# E1 — PDF text extraction
+# --------------------------------------------------------------------------
+_PDF_STREAM_RE = re.compile(r"stream\r?\n(.*?)endstream", re.DOTALL)
+_PDF_TJ_ARRAY_RE = re.compile(r"\[(.*?)\]\s*TJ", re.DOTALL)
+
+
+def _pdf_unescape(s: str) -> str:
+    out = []
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c == "\\" and i + 1 < len(s):
+            nxt = s[i + 1]
+            if nxt in "()\\":
+                out.append(nxt)
+                i += 2
+                continue
+            if nxt == "n":
+                out.append("\n")
+                i += 2
+                continue
+            if nxt == "t":
+                out.append("\t")
+                i += 2
+                continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def _pdf_paren_strings(chunk: str) -> List[str]:
+    """All (...) literal strings in a content-stream chunk, in stream
+    order, honoring backslash escapes and nested parens."""
+    res: List[str] = []
+    i, n = 0, len(chunk)
+    while i < n:
+        if chunk[i] == "(":
+            depth = 1
+            j = i + 1
+            buf = []
+            while j < n and depth:
+                c = chunk[j]
+                if c == "\\" and j + 1 < n:
+                    buf.append(c)
+                    buf.append(chunk[j + 1])
+                    j += 2
+                    continue
+                if c == "(":
+                    depth += 1
+                elif c == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                buf.append(c)
+                j += 1
+            res.append(_pdf_unescape("".join(buf)))
+            i = j + 1
+        else:
+            i += 1
+    return res
+
+
+def extract_pdf_text(payload: str) -> str:
+    """Text extraction from a (simple, uncompressed) PDF byte-stream.
+
+    The reference delegates to ``pdfminer.high_level.extract_text``
+    (doc_to_md/pdf_converter.py:25-27).  pdfminer is not installed in
+    this sandbox, so when an import-try fails we fall back to a
+    deterministic pure-stdlib extractor for the uncompressed PDFs our
+    fixtures generate: per content stream, each text-showing op
+    (``(..) Tj`` / ``[..] TJ``) contributes one line; lines joined with
+    ``\\n``; streams (pages) joined with ``\\n\\n``.  At production
+    scale with pdfminer installed, the pdfminer path is used and the
+    fixtures are regenerated against it (SURVEY.md §7 hard-part (a)).
+    """
+    try:  # real path when the library exists
+        from pdfminer.high_level import extract_text  # type: ignore
+
+        return extract_text(io.BytesIO(payload.encode("latin-1", "replace")))
+    except ImportError:
+        pass
+    pages: List[str] = []
+    for m in _PDF_STREAM_RE.finditer(payload):
+        chunk = m.group(1)
+        lines: List[str] = []
+        consumed_spans: List[Tuple[int, int]] = []
+        for tj in _PDF_TJ_ARRAY_RE.finditer(chunk):
+            parts = _pdf_paren_strings(tj.group(1))
+            if parts:
+                lines.append(("".join(parts), tj.start()))
+            consumed_spans.append((tj.start(), tj.end()))
+
+        # (..) Tj ops outside TJ arrays
+        for sm in re.finditer(r"\((?:[^()\\]|\\.)*\)\s*Tj", chunk):
+            if any(a <= sm.start() < b for a, b in consumed_spans):
+                continue
+            strs = _pdf_paren_strings(sm.group(0))
+            if strs:
+                lines.append((strs[0], sm.start()))
+        lines.sort(key=lambda t: t[1])
+        if lines:
+            pages.append("\n".join(t[0] for t in lines))
+    return "\n\n".join(pages)
+
+
+def convert_pdf(stem: str, payload: str) -> str:
+    """E1+E8: extract text, wrap (doc_to_md/pdf_converter.py:25-35)."""
+    return wrap_text_md(stem, extract_pdf_text(payload))
+
+
+# --------------------------------------------------------------------------
+# E4/E5/E6 — DOCX (OOXML) DOM traversal
+# --------------------------------------------------------------------------
+def _local(tag: str) -> str:
+    return tag.rsplit("}", 1)[-1]
+
+
+def _para_text(p_elem) -> str:
+    """python-docx ``para.text``: concatenation of every w:t run."""
+    return "".join(t.text or "" for t in p_elem.iter() if _local(t.tag) == "t")
+
+
+def _para_style(p_elem) -> str:
+    """Style name of a paragraph.  python-docx resolves styleId ->
+    style name via styles.xml; our fixture convention (FIXTURES.md §3
+    P3) carries the style NAME verbatim in ``w:pStyle/@w:val``, default
+    'Normal'."""
+    for el in p_elem.iter():
+        if _local(el.tag) == "pStyle":
+            for k, v in el.attrib.items():
+                if _local(k) == "val":
+                    return v
+    return "Normal"
+
+
+def heading_level(style_name: str) -> Optional[int]:
+    """The reference's heading classifier (docx_converter.py:79-85):
+    any style starting 'Heading' is a heading; level 2 only for exactly
+    'Heading 2', 3 only for 'Heading 3', EVERYTHING ELSE (incl.
+    Heading 4+) collapses to level 1.  Quirk reproduced, not fixed."""
+    if not style_name.startswith("Heading"):
+        return None
+    if style_name == "Heading 2":
+        return 2
+    if style_name == "Heading 3":
+        return 3
+    return 1
+
+
+def convert_docx_xml(stem: str, payload: str) -> str:
+    """DOCX conversion over the raw OOXML ``word/document.xml`` string.
+
+    Primary path replicates the python-docx walk of the reference
+    (docx_converter.py:66-98): title prefix ``# {stem}\\n\\n``
+    (:73), body-level paragraphs in order with blank paragraphs
+    dropped (:75-77), heading classifier (:79-85), body text as
+    ``{text}\\n\\n`` (:87), then ALL tables appended after the
+    paragraphs (:89-96) as ``\\n|`` + per-row ``c1|c2|`` + ``\\n``
+    trailing — deliberately no GFM header-separator row (byte-equality
+    over beauty).
+
+    If the document has no ``w:body`` (bare runs), fall back to the
+    reference's raw-XML extraction (docx_converter.py:144-178): every
+    ``*}t`` element's text joined with ``\\n``, same title prefix,
+    no trailing newline (:174-176).
+    """
+    root = ET.fromstring(payload)
+    body = None
+    for child in root:
+        if _local(child.tag) == "body":
+            body = child
+            break
+    if _local(root.tag) == "body":
+        body = root
+
+    out = [f"# {stem}\n\n"]
+    if body is None:
+        # E6 raw fallback: collect every }t text (docx_converter.py:168-176)
+        texts = [el.text for el in root.iter() if _local(el.tag) == "t" and el.text]
+        out.append("\n".join(texts))
+        return "".join(out)
+
+    tables = []
+    for child in body:
+        tag = _local(child.tag)
+        if tag == "p":
+            text = _para_text(child).strip()
+            if not text:  # blank-paragraph drop (docx_converter.py:75-77)
+                continue
+            lvl = heading_level(_para_style(child))
+            if lvl is not None:
+                out.append(f"{'#' * lvl} {text}\n\n")
+            else:
+                out.append(f"{text}\n\n")
+        elif tag == "tbl":
+            rows = []
+            for tr in child:
+                if _local(tr.tag) != "tr":
+                    continue
+                cells = []
+                for tc in tr:
+                    if _local(tc.tag) != "tc":
+                        continue
+                    # python-docx cell.text: paragraphs joined with '\n'
+                    ptexts = [
+                        _para_text(p) for p in tc if _local(p.tag) == "p"
+                    ]
+                    cells.append("\n".join(ptexts))
+                rows.append(cells)
+            tables.append(rows)
+
+    for rows in tables:  # tables AFTER all paragraphs (docx_converter.py:89-96)
+        out.append("\n|")
+        for cells in rows:
+            row_text = "|".join(c.strip() for c in cells)
+            out.append(f"{row_text}|\n")
+        out.append("\n")
+    return "".join(out)
+
+
+# --------------------------------------------------------------------------
+# M4 — HTML main-content extraction with boilerplate strip
+# (north_star addition beyond the reference; semantics pinned by OUR
+# golden fixtures, tests/test_kernels.py)
+# --------------------------------------------------------------------------
+_HTML_SKIP_CONTAINERS = {
+    "script", "style", "nav", "header", "footer", "aside", "form",
+    "button", "noscript", "svg", "iframe",
+}
+_HTML_BLOCK_TAGS = {"h1", "h2", "h3", "h4", "h5", "h6", "p", "li", "pre"}
+
+
+@dataclass
+class _Block:
+    tag: str
+    text: str
+    link_chars: int
+    total_chars: int
+    tag_count: int
+
+    @property
+    def link_ratio(self) -> float:
+        return self.link_chars / self.total_chars if self.total_chars else 1.0
+
+    @property
+    def tag_density(self) -> float:
+        return self.tag_count / max(1, self.total_chars)
+
+
+class _BlockParser(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: List[_Block] = []
+        self._skip_depth = 0
+        self._stack: List[dict] = []  # open block frames
+        self._link_depth = 0
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _HTML_SKIP_CONTAINERS:
+            self._skip_depth += 1
+            return
+        if self._skip_depth:
+            return
+        if tag == "a":
+            self._link_depth += 1
+        if tag in _HTML_BLOCK_TAGS:
+            self._stack.append(
+                {"tag": tag, "parts": [], "link": 0, "tags": 0}
+            )
+        elif self._stack:
+            self._stack[-1]["tags"] += 1
+
+    def handle_endtag(self, tag):
+        if tag in _HTML_SKIP_CONTAINERS:
+            self._skip_depth = max(0, self._skip_depth - 1)
+            return
+        if self._skip_depth:
+            return
+        if tag == "a":
+            self._link_depth = max(0, self._link_depth - 1)
+        if tag in _HTML_BLOCK_TAGS and self._stack:
+            # close the innermost matching frame
+            for i in range(len(self._stack) - 1, -1, -1):
+                if self._stack[i]["tag"] == tag:
+                    frame = self._stack.pop(i)
+                    raw = "".join(frame["parts"])
+                    # pre keeps verbatim whitespace; everything else is
+                    # whitespace-normalized prose
+                    text = raw.strip() if tag == "pre" \
+                        else re.sub(r"\s+", " ", raw).strip()
+                    self.blocks.append(
+                        _Block(tag, text, frame["link"], len(text), frame["tags"])
+                    )
+                    break
+
+    def handle_data(self, data):
+        if self._skip_depth or not self._stack:
+            return
+        self._stack[-1]["parts"].append(data)
+        if self._link_depth:
+            self._stack[-1]["link"] += len(data.strip())
+
+
+# boilerplate thresholds (pinned by fixtures): a block whose visible
+# text is majority link text, or absurdly tag-dense, is navigation/chrome
+MAX_LINK_RATIO = 0.5
+MAX_TAG_DENSITY = 0.25
+
+
+def convert_html(stem: str, payload: str) -> str:
+    """Main-content HTML -> Markdown with tag-density + link-text-ratio
+    boilerplate stripping (north_star capability; no reference analog —
+    the reference never parses HTML).  Emission grammar mirrors §2.4:
+    ``# {stem}`` title prefix, ``{'#'*n} text`` headings, paragraphs as
+    ``text\\n\\n``, list items as ``- text\\n`` (list closed by a blank
+    line), ``pre`` as a ```text fenced block."""
+    parser = _BlockParser()
+    parser.feed(payload)
+    parser.close()
+
+    out = [f"# {stem}\n\n"]
+    in_list = False
+    for b in parser.blocks:
+        if not b.text:
+            continue
+        if b.link_ratio > MAX_LINK_RATIO or b.tag_density > MAX_TAG_DENSITY:
+            continue  # boilerplate: link-heavy or markup-heavy block
+        if b.tag == "li":
+            out.append(f"- {b.text}\n")
+            in_list = True
+            continue
+        if in_list:
+            out.append("\n")
+            in_list = False
+        if b.tag in ("h1", "h2", "h3", "h4", "h5", "h6"):
+            out.append(f"{'#' * int(b.tag[1])} {b.text}\n\n")
+        elif b.tag == "pre":
+            out.append(f"```text\n{b.text}\n```\n\n")
+        else:
+            out.append(f"{b.text}\n\n")
+    if in_list:
+        out.append("\n")
+    return "".join(out)
+
+
+# --------------------------------------------------------------------------
+# E9/F7 — XLSX workbook -> per-sheet CSV
+# --------------------------------------------------------------------------
+def stringify_cell(v) -> str:
+    """``"" if v is None else str(v)`` — the reference's entire value
+    type system (xlsx_to_csv/main.py:94-96)."""
+    return "" if v is None else str(v)
+
+
+def sheet_to_csv_text(rows: List[List]) -> str:
+    """CSV emission byte-equal to ``_write_sheet_csv``
+    (xlsx_to_csv/main.py:99-104): ``csv.writer`` default dialect over a
+    file opened ``newline=""`` -> CRLF row terminators, minimal
+    quoting."""
+    buf = io.StringIO()
+    w = csv.writer(buf)  # default dialect: lineterminator '\r\n'
+    for row in rows:
+        w.writerow([stringify_cell(v) for v in row])
+    return buf.getvalue()
+
+
+def convert_workbook(stem: str, payload: str, sheet: Optional[str] = None):
+    """Workbook -> list of (csv_name, csv_text).
+
+    The sandbox has no openpyxl, so the payload is the pinned
+    JSON workbook representation
+    ``{"sheets": [{"name": .., "rows": [[..]]}]}`` (FIXTURES.md §4);
+    with openpyxl installed a binary branch would parse real XLSX via
+    ``load_workbook(data_only=True, read_only=True)``
+    (xlsx_to_csv/main.py:120).  Naming rule (:139-147): multi-sheet
+    -> ``{stem}__{sanitized_sheet}.csv``, single sheet (or --sheet)
+    -> ``{stem}.csv``.  Missing --sheet name is an error (:126-132).
+    """
+    wb = json.loads(payload)
+    sheets = wb.get("sheets", [])
+    names = [s.get("name", "") for s in sheets]
+    if sheet is not None:
+        if sheet not in names:
+            raise ValueError(f"sheet not found: {sheet}")
+        sheets = [s for s in sheets if s.get("name") == sheet]
+    multiple = len(sheets) > 1 and sheet is None
+    out = []
+    for s in sheets:
+        safe = sanitize_stem(s.get("name", ""), default="sheet")
+        csv_name = f"{stem}__{safe}.csv" if multiple else f"{stem}.csv"
+        out.append((csv_name, sheet_to_csv_text(s.get("rows", []))))
+    return out
+
+
+# --------------------------------------------------------------------------
+# D2 — output verification gate
+# --------------------------------------------------------------------------
+def verify_markdown(md: Optional[str]) -> bool:
+    """The reference's only correctness check, ``_verify_conversion``
+    (delete_manager.py:102-130): output exists, size > 0, first 1KB is
+    non-blank."""
+    if md is None or len(md) == 0:
+        return False
+    return bool(md[:1024].strip())
+
+
+# --------------------------------------------------------------------------
+# Top-level per-turn dispatch (the engine core, one logical document)
+# --------------------------------------------------------------------------
+def extract_turn(conv_id: str, turn_idx: int, text: Optional[str],
+                 fmt_hint: str = "") -> Tuple[str, str, str]:
+    """(md, status, message) for one transcript turn.
+
+    Failure isolation: any kernel exception yields a ``failed`` row
+    carrying the error-artifact markdown (mirror of the reference's
+    error .md sink, pdf_converter.py:49-57) and a tail-truncated
+    message (main.py:375-376) — one bad turn never aborts the job
+    (main.py:451-456 semantics).
+    """
+    stem = turn_stem(conv_id, turn_idx)
+    try:
+        fmt = sniff_format(text or "", fmt_hint)
+        if fmt == FMT_UNKNOWN:
+            raise ValueError(f"不支持的文件类型: {fmt_hint or 'unknown'}")
+        if fmt == FMT_PDF:
+            md = convert_pdf(stem, text or "")
+        elif fmt == FMT_DOCX:
+            md = convert_docx_xml(stem, text or "")
+        elif fmt == FMT_HTML:
+            md = convert_html(stem, text or "")
+        else:
+            md = wrap_text_md(stem, text or "")
+        if not verify_markdown(md):
+            return md, FAILED, "verify failed: empty or blank output"
+        return md, OK, ""
+    except Exception as e:  # noqa: BLE001 — failure isolation by design
+        msg = str(e)[-MESSAGE_TAIL:]
+        err_md = f"# {stem}\n\n转换错误: {msg}\n"
+        return err_md, FAILED, msg

@@ -1,0 +1,167 @@
+"""Deduplication operators for training-data pipelines:
+exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Design for 100 TB:
+ - Exact dedup groups on a 128-bit content hash (md5), never on the
+   raw text — the shuffle carries 32-byte keys, not documents.
+ - MinHash signatures are computed with ONE explode + groupBy where
+   every band is a map-side-combinable `min` aggregate — a single
+   shuffle of per-doc partials regardless of band count.
+ - LSH candidate generation buckets by band hash; only same-bucket
+   pairs are joined (equi-join, AQE-skew-splittable), never an O(n^2)
+   cross join.
+ - All hashing is md5 (hex string order) so the DuckDB oracle computes
+   identical signatures — xxhash64 would be faster but unverifiable;
+   swapping the hash is a one-line change at deploy time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .textstats import TOKEN_SPLIT_RE
+
+
+def _norm(text):  # normalization shared with the SQL oracle
+    return F.lower(F.trim(F.coalesce(text, F.lit(""))))
+
+
+def exact_dedup_keys(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One row per distinct normalized content: (content_md5,
+    keeper_id = min id, dup_count).  Map-side combinable; shuffle key
+    is the 32-char hash."""
+    return (
+        df.select(F.col(id_col), F.md5(_norm(F.col(text_col))).alias("content_md5"))
+        .groupBy("content_md5")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(F.split(_norm(F.col(text_col)), TOKEN_SPLIT_RE)))
+        .alias("tok"),
+    ).where(F.col("tok") != "")
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """Distinct word k-shingles per document."""
+    toks = F.split(_norm(F.col(text_col)), TOKEN_SPLIT_RE)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0)))
+    sh = F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " "))
+    )
+    return df.select(F.col(id_col), F.explode(sh).alias("shingle"))
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
+                       n_bands: int = 8, k: int = 3) -> DataFrame:
+    """(id, band, minhash): per band b, min over the document's
+    shingles of md5(b || '|' || shingle).  One explode, one groupBy —
+    every band is an independent min aggregate (partial aggregation
+    pushes the min map-side, so the shuffle is n_docs x n_bands tiny
+    rows)."""
+    sh = shingles(df, id_col, text_col, k)
+    banded = sh.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.md5(F.concat(b.cast("string"), F.lit("|"), F.col("shingle")))
+                    .alias("h"),
+                ),
+            )
+        ).alias("bh"),
+    ).select(id_col, F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
+    return banded.groupBy(id_col, "band").agg(F.min("h").alias("minhash"))
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
+                      n_bands: int = 8, k: int = 3) -> DataFrame:
+    """Candidate near-duplicate pairs: documents sharing ANY band
+    minhash (classic banding LSH with 1 row per band).  Output
+    (id_a < id_b, shared_bands)."""
+    sig = minhash_signatures(df, id_col, text_col, n_bands, k)
+    a = sig.select(F.col(id_col).alias("id_a"), "band", "minhash")
+    b = sig.select(F.col(id_col).alias("id_b"), "band", "minhash")
+    return (
+        a.join(b, on=["band", "minhash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_bands"))
+    )
+
+
+def ngram_jaccard(df: DataFrame, id_col: str, text_col: str,
+                  pairs: DataFrame, k: int = 3) -> DataFrame:
+    """Exact Jaccard over word k-shingle sets for given candidate
+    pairs (id_a, id_b).  Explode-join-agg shape: set sizes and
+    intersection sizes all computed as counts over the exploded
+    shingle stream — no per-row set objects, fully shuffled by
+    shingle/doc keys."""
+    sh = shingles(df, id_col, text_col, k)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    sa = sh.select(F.col(id_col).alias("id_a"), F.col("shingle"))
+    sb = sh.select(F.col(id_col).alias("id_b"), F.col("shingle"))
+    inter = (
+        pairs.select("id_a", "id_b")
+        .join(sa, on="id_a")
+        .join(sb, on=["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter_sz"))
+    )
+    za = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    zb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        pairs.select("id_a", "id_b")
+        .join(inter, on=["id_a", "id_b"], how="left")
+        .join(za, on="id_a").join(zb, on="id_b")
+        .withColumn("inter_sz", F.coalesce("inter_sz", F.lit(0)))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter_sz")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter_sz")),
+                6,
+            ),
+        )
+        .select("id_a", "id_b", "inter_sz", "sz_a", "sz_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str,
+            n_bits: int = 16) -> DataFrame:
+    """SimHash over whitespace tokens, n_bits dimensions.
+
+    Bit j of a token's contribution = hex digit j of md5(token)
+    (>= '8' means +1, else -1); the document bit is the sign of the
+    sum.  Entirely explode + conditional-sum aggregation (map-side
+    combinable), and md5-based so the oracle can replay it."""
+    toks = tokens(df, id_col, text_col).withColumn("h", F.md5("tok"))
+    dims = toks.select(
+        id_col,
+        F.explode(F.sequence(F.lit(1), F.lit(n_bits))).alias("bit"),
+        F.col("h"),
+    ).withColumn(
+        "w",
+        F.when(F.substring(F.col("h"), F.col("bit"), 1) >= "8", F.lit(1))
+        .otherwise(F.lit(-1)),
+    )
+    return (
+        dims.groupBy(id_col, "bit").agg(F.sum("w").alias("s"))
+        .withColumn("b", F.when(F.col("s") > 0, F.lit(1)).otherwise(F.lit(0)))
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                F.col("b")
+                * F.pow(F.lit(2.0), (F.lit(n_bits) - F.col("bit")).cast("double"))
+            ).cast("long").alias("simhash")
+        )
+    )

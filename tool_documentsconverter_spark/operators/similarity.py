@@ -1,0 +1,138 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two paths:
+ - brute-force cosine top-k: broadcast the (small) query set, score
+   every corpus vector with built-in higher-order functions
+   (zip_with + aggregate — JVM-side, codegen'd), window top-k.
+   Exact; the baseline and the oracle-checkable path.
+ - LSH-bucketed ANN (random-hyperplane signatures): corpus and queries
+   are bucketed by a b-bit sign signature; only same-bucket pairs are
+   scored.  At 100 TB this turns the all-pairs score into an equi-join
+   on the signature — the classic scale path; recall is tunable via
+   bands/bits.  Hyperplanes are derived deterministically from md5 of
+   (plane, dim) so executors and the test oracle agree without
+   shipping a random state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, rank, score).
+
+    The query side is broadcast (it is small by construction); the
+    corpus is scanned once, scoring stays inside codegen (zip_with /
+    aggregate are Catalyst higher-order functions, no Python).  Top-k
+    per query via window row_number — the shuffle is (n_queries x
+    corpus_partitions) partial top-k rows only when AQE coalesces,
+    otherwise a per-query sort of scored rows."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "score",
+            F.round(
+                cosine(
+                    F.transform("qvec", lambda x: x.cast("double")),
+                    F.transform("cvec", lambda x: x.cast("double")),
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )
+
+
+def hyperplane_sign(vec, plane: int, dim: int):
+    """Deterministic pseudo-random hyperplane: weight of dimension d in
+    plane p = (digit value of md5(p||':'||d) first hex char) - 7.5,
+    i.e. a fixed sign/magnitude pattern both engines can recompute."""
+    idx = F.sequence(F.lit(0), F.lit(dim - 1))
+    weights = F.transform(
+        idx,
+        lambda d: F.conv(
+            F.substring(F.md5(F.concat(F.lit(str(plane) + ":"), d.cast("string"))), 1, 1),
+            16, 10,
+        ).cast("double") - 7.5,
+    )
+    return F.when(_dot(F.transform(vec, lambda x: x.cast("double")), weights) >= 0,
+                  F.lit("1")).otherwise(F.lit("0"))
+
+
+def lsh_signature(vec, n_planes: int, dim: int):
+    return F.concat(*[hyperplane_sign(vec, p, dim) for p in range(n_planes)])
+
+
+def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+             n_planes: int = 4, dim: int = 64,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """ANN: score only same-signature candidates.  Equi-join on the
+    b-bit bucket replaces the cross join; expected candidate set is
+    n / 2^b per query."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        lsh_signature(F.col(vec_col), n_planes, dim).alias("sig"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        lsh_signature(F.col(vec_col), n_planes, dim).alias("sig"),
+    )
+    scored = (
+        c.join(F.broadcast(q), on="sig")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "score",
+            F.round(
+                cosine(
+                    F.transform("qvec", lambda x: x.cast("double")),
+                    F.transform("cvec", lambda x: x.cast("double")),
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )

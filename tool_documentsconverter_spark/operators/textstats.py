@@ -1,0 +1,142 @@
+"""Text-analysis operators for a large-scale training-data pipeline:
+language ID, quality scoring, token counting, document fingerprinting.
+
+All pure Column expressions / built-in functions — JVM-side, inside
+WholeStageCodegen, no Python in the hot path.  Each operator has an
+ANSI-SQL twin in __spark_entry__.oracle_sql (DuckDB-checked).
+
+Scale notes: token explosion (`explode(split(...))`) is the standard
+shape for corpus statistics; the groupBy that follows is a map-side
+combinable aggregation (partial min/sum), so the shuffle carries only
+per-document partials, never raw tokens.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# tiny per-language marker lexicons for the n-gram/stopword heuristic
+# language-ID (deterministic, dictionary-driven — same table feeds the
+# SQL oracle via VALUES)
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "is", "to"],
+    "de": ["der", "die", "und", "ist", "nicht"],
+    "fr": ["le", "la", "et", "est", "les"],
+    "es": ["el", "la", "que", "de", "es"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+
+TOKEN_SPLIT_RE = r"\s+"
+# BPE-ish subword segmentation: word pieces, numbers, or single
+# punctuation — the cheap proxy for tokenizer counts
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is"]
+PUNCT_RE = r"[^\w\s]"
+
+
+def ws_token_count(text: Column) -> Column:
+    """Whitespace token count (0 for empty/blank)."""
+    t = F.trim(F.coalesce(text, F.lit("")))
+    return F.when(t == "", F.lit(0)).otherwise(
+        F.size(F.split(t, TOKEN_SPLIT_RE))
+    )
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Regex-count of BPE-ish pieces."""
+    return F.coalesce(
+        F.regexp_count(F.coalesce(text, F.lit("")), F.lit(BPE_TOKEN_RE)),
+        F.lit(0),
+    )
+
+
+def punct_ratio(text: Column) -> Column:
+    t = F.coalesce(text, F.lit(""))
+    return F.when(F.length(t) == 0, F.lit(0.0)).otherwise(
+        F.regexp_count(t, F.lit(PUNCT_RE)) / F.length(t)
+    )
+
+
+def stopword_ratio(text: Column) -> Column:
+    """Fraction of whitespace tokens that are English stopwords."""
+    t = F.lower(F.trim(F.coalesce(text, F.lit(""))))
+    toks = F.split(t, TOKEN_SPLIT_RE)
+    n = F.size(toks)
+    stops = F.size(F.filter(toks, lambda x: x.isin(STOPWORDS)))
+    return F.when((t == "") | (n == 0), F.lit(0.0)).otherwise(stops / n)
+
+
+def mean_word_len(text: Column) -> Column:
+    t = F.trim(F.coalesce(text, F.lit("")))
+    toks = F.split(t, TOKEN_SPLIT_RE)
+    total = F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
+    return F.when(t == "", F.lit(0.0)).otherwise(
+        total.cast("double") / F.size(toks)
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Composite document-quality heuristic in [0, 1]:
+    rewards reasonable length, a sane punctuation ratio and the
+    presence of function words — the usual cheap pre-filter before
+    expensive dedup/model scoring."""
+    length_term = F.least(F.length(F.coalesce(text, F.lit(""))) / F.lit(500.0),
+                          F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(punct_ratio(text) * 5.0, F.lit(1.0))
+    stop_term = F.least(stopword_ratio(text) * 4.0, F.lit(1.0))
+    return F.round((length_term + punct_term + stop_term) / 3.0, 6)
+
+
+def doc_fingerprint(text: Column, k: int = 3) -> Column:
+    """Deterministic document fingerprint: minimum md5 over the
+    document's k-gram (word-shingle) set — a 1-hash MinHash, the
+    winnowing-style representative usable as a cheap near-dup key.
+    md5 (not xxhash64) so the DuckDB oracle computes the identical
+    value."""
+    t = F.lower(F.trim(F.coalesce(text, F.lit(""))))
+    toks = F.split(t, TOKEN_SPLIT_RE)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    shingles = F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " ")
+    )
+    return F.when(t == "", F.lit(None).cast("string")).otherwise(
+        F.array_min(F.transform(shingles, F.md5))
+    )
+
+
+def lang_marker_df(spark: SparkSession) -> DataFrame:
+    rows = [(lang, w) for lang, ws in LANG_MARKERS.items() for w in ws]
+    return spark.createDataFrame(rows, "lang string, marker string")
+
+
+def detect_language(df: DataFrame, id_col: str, text_col: str,
+                    spark: SparkSession) -> DataFrame:
+    """Dictionary-driven language ID: explode tokens, broadcast-join
+    the marker lexicon (a few dozen rows — always broadcast), count
+    hits per (doc, lang), argmax with deterministic tiebreak
+    (max_by over (hits, lang) struct).  Docs with zero marker hits get
+    lang 'und'."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), TOKEN_SPLIT_RE))
+        .alias("tok"),
+    )
+    from pyspark.sql import Window
+
+    hits = (
+        toks.join(F.broadcast(lang_marker_df(spark)),
+                  toks.tok == F.col("marker"), "inner")
+        .groupBy(id_col, "lang").agg(F.count(F.lit(1)).alias("hits"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("hits"), F.asc("lang"))
+    best = (
+        hits.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(id_col, F.col("lang").alias("detected_lang"),
+                F.col("hits").alias("marker_hits"))
+    )
+    return df.join(best, on=id_col, how="left").withColumn(
+        "detected_lang", F.coalesce("detected_lang", F.lit("und"))
+    ).withColumn("marker_hits", F.coalesce("marker_hits", F.lit(0).cast("long")))

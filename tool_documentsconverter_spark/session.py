@@ -1,0 +1,48 @@
+"""SparkSession factory with the configuration the engine assumes.
+
+Local mode here; on a real cluster the same builder config is supplied
+via spark-submit --conf.  Every setting is a scale decision:
+
+ - Arrow enabled + bounded batch size: the extraction stage is
+   mapInArrow over payload batches; maxRecordsPerBatch caps executor
+   memory per batch when payloads are large (SURVEY.md O10).
+ - AQE on: runtime coalescing of small shuffle partitions and skew-join
+   splitting for the join-shaped operators (UDF-stage skew is handled
+   explicitly with salting in plans/pipeline.py — AQE cannot see it).
+ - shuffle.partitions sized for the sandbox; a 1000-executor run sets
+   this to ~2-3x total cores via --conf.
+ - session timezone pinned UTC so timestamp semantics match the DuckDB
+   oracle byte-for-byte.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app: str = "tool-documentsconverter-spark",
+              master: str | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    master = master or os.environ.get("SPARK_GRAFT_MASTER") or \
+        f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    return (
+        SparkSession.builder.appName(app)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )

@@ -1,0 +1,190 @@
+"""Deterministic synthetic transcripts (the north-rule input table).
+
+Shape per BASELINE.json input_hint:
+  (conv_id:string, turn_idx:int32, role:string, text:string,
+   tool:string, ts:timestamp)
+
+Payload cases cycle through the FIXTURES.md §3 catalog (P1..P10) so
+every emission path and reference quirk is exercised.  Everything is a
+pure function of the row index i (seed-free determinism), EXCEPT
+turn_idx which is assigned with a row_number window so turns are
+contiguous per conversation while generation order stays shuffled
+(FIXTURES.md §1).  One conversation (`conv-00000`) receives ~30% of
+all turns — the oversized-conversation skew the salted repartition in
+plans/pipeline.py must absorb.
+
+Generation is distributed (spark.range -> mapInArrow) so bench-scale
+tables never bottleneck on the driver.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from typing import Iterator, Tuple
+
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+ROLES = ["user", "assistant", "tool"]
+TOOLS = ["", "bash", "browser", "pdf_reader"]
+EPOCH = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+
+_DOCX_HEADINGS = (
+    '<?xml version="1.0"?>'
+    '<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">'
+    "<w:body>"
+    '<w:p><w:pPr><w:pStyle w:val="Heading 1"/></w:pPr><w:r><w:t>Intro {i}</w:t></w:r></w:p>'
+    '<w:p><w:r><w:t>Body paragraph {i} with </w:t></w:r><w:r><w:t>two runs.</w:t></w:r></w:p>'
+    '<w:p><w:pPr><w:pStyle w:val="Heading 2"/></w:pPr><w:r><w:t>Methods</w:t></w:r></w:p>'
+    '<w:p><w:pPr><w:pStyle w:val="Heading 3"/></w:pPr><w:r><w:t>Details</w:t></w:r></w:p>'
+    '<w:p><w:pPr><w:pStyle w:val="Heading 4"/></w:pPr><w:r><w:t>Deep section</w:t></w:r></w:p>'
+    '<w:p><w:pPr><w:pStyle w:val="Title"/></w:pPr><w:r><w:t>A title-styled line</w:t></w:r></w:p>'
+    "</w:body></w:document>"
+)
+
+_DOCX_BLANKS = (
+    '<?xml version="1.0"?>'
+    '<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">'
+    "<w:body>"
+    "<w:p><w:r><w:t>first {i}</w:t></w:r></w:p>"
+    "<w:p><w:r><w:t>   </w:t></w:r></w:p>"
+    "<w:p></w:p>"
+    "<w:p><w:r><w:t>last {i}</w:t></w:r></w:p>"
+    "</w:body></w:document>"
+)
+
+_DOCX_TABLES = (
+    '<?xml version="1.0"?>'
+    '<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">'
+    "<w:body>"
+    "<w:p><w:r><w:t>Before tables {i}</w:t></w:r></w:p>"
+    "<w:tbl>"
+    "<w:tr><w:tc><w:p><w:r><w:t>a|pipe</w:t></w:r></w:p></w:tc>"
+    "<w:tc><w:p><w:r><w:t> b </w:t></w:r></w:p></w:tc></w:tr>"
+    "<w:tr><w:tc><w:p><w:r><w:t>c</w:t></w:r></w:p></w:tc>"
+    "<w:tc><w:p><w:r><w:t>d</w:t></w:r></w:p></w:tc></w:tr>"
+    "<w:tr><w:tc><w:p><w:r><w:t>e</w:t></w:r></w:p></w:tc>"
+    "<w:tc><w:p><w:r><w:t>f</w:t></w:r></w:p></w:tc></w:tr>"
+    "</w:tbl>"
+    "<w:p><w:r><w:t>Between {i}</w:t></w:r></w:p>"
+    "<w:tbl><w:tr><w:tc><w:p><w:r><w:t>solo</w:t></w:r></w:p></w:tc></w:tr></w:tbl>"
+    "</w:body></w:document>"
+)
+
+_DOCX_RAW = (
+    '<?xml version="1.0"?>'
+    '<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">'
+    "<w:p><w:r><w:t>loose run {i}</w:t></w:r></w:p>"
+    "<w:p><w:r><w:t>second run</w:t></w:r><w:r><w:t/></w:r></w:p>"
+    "</w:document>"
+)
+
+_HTML = (
+    "<!DOCTYPE html><html><head><title>t</title>"
+    "<style>body {{ color: red }}</style></head><body>"
+    '<nav><li><a href="/">Home</a></li><li><a href="/x">X</a></li></nav>'
+    "<h1>Article {i}</h1>"
+    "<p>Main content paragraph {i} long enough to keep.</p>"
+    '<p><a href="/spam">click</a> <a href="/more">here</a> now</p>'
+    "<ul><li>alpha {i}</li><li>beta</li></ul>"
+    "<pre>code {i}\nline2</pre>"
+    "<footer><p>copyright boilerplate</p></footer>"
+    "</body></html>"
+)
+
+
+def make_pdf(i: int) -> str:
+    """Minimal 2-page uncompressed PDF text (string form)."""
+    s1 = f"BT /F1 12 Tf 72 720 Td (Page one line {i}) Tj T* (second \\(escaped\\) line) Tj ET"
+    s2 = f"BT [(Page two ) (of turn {i})] TJ ET"
+    return (
+        "%PDF-1.4\n"
+        "1 0 obj << /Length "
+        f"{len(s1)} >>\nstream\n{s1}\nendstream\nendobj\n"
+        "2 0 obj << /Length "
+        f"{len(s2)} >>\nstream\n{s2}\nendstream\nendobj\n"
+        "%%EOF\n"
+    )
+
+
+def payload_for(i: int) -> Tuple[str, str]:
+    """(text, fmt_hint) for row index i — the P1..P10 cycle."""
+    case = i % 10
+    if case == 0:  # P1 plain multi-paragraph, CJK + emoji
+        return (
+            f"Plain paragraph one of turn {i}.\n\n中文段落 🚀 emoji.\n\n"
+            f"Final paragraph {i}.",
+            "",
+        )
+    if case == 1:  # P2 empty / whitespace-only
+        return ("" if i % 20 == 1 else " \n \t ", "")
+    if case == 2:  # P3 heading classifier
+        return (_DOCX_HEADINGS.replace("{i}", str(i)), "")
+    if case == 3:  # P4 blank-paragraph drop
+        return (_DOCX_BLANKS.replace("{i}", str(i)), "")
+    if case == 4:  # P5 table quirk emission
+        return (_DOCX_TABLES.replace("{i}", str(i)), "")
+    if case == 5:  # P6 raw-XML fallback
+        return (_DOCX_RAW.replace("{i}", str(i)), "")
+    if case == 6:  # P7 pdf
+        return (make_pdf(i), "")
+    if case == 7:  # P8 html with boilerplate
+        return (_HTML.replace("{i}", str(i)), "")
+    if case == 8:  # P9 unsupported format -> failed row
+        return (f"\x00\x01BINARYGARBAGE{i}", "doc")
+    # P10: plain text again, exercised with hint column agreement
+    return (f"hinted text payload {i}", "text")
+
+
+def conv_for(i: int, n_convs: int) -> str:
+    """~30% of turns land in conv-00000 (the oversized conversation)."""
+    if i % 10 < 3:
+        return "conv-00000"
+    return f"conv-{1 + (i * 2654435761) % (n_convs - 1):05d}"
+
+
+def _gen_factory(n_convs: int):
+    def gen(batches):
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            rows = {
+                "i": ids,
+                "conv_id": [conv_for(i, n_convs) for i in ids],
+                "role": [ROLES[i % 3] for i in ids],
+                "tool": [TOOLS[i % 4] for i in ids],
+                "text": [],
+                "fmt_hint": [],
+                "ts": [EPOCH + dt.timedelta(seconds=13 * i) for i in ids],
+            }
+            for i in ids:
+                t, h = payload_for(i)
+                rows["text"].append(t)
+                rows["fmt_hint"].append(h)
+            yield pa.RecordBatch.from_pydict(rows)
+
+    return gen
+
+
+def synth_transcripts(spark: SparkSession, n_turns: int,
+                      n_convs: int | None = None,
+                      partitions: int | None = None) -> DataFrame:
+    if n_convs is None:
+        n_convs = max(4, n_turns // 40)
+    if partitions is None:
+        partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    base = spark.range(0, n_turns, 1, partitions)
+    schema = ("i long, conv_id string, role string, tool string, "
+              "text string, fmt_hint string, ts timestamp")
+    raw = base.mapInArrow(_gen_factory(n_convs), schema)
+    w = Window.partitionBy("conv_id").orderBy("i")
+    return (
+        raw.withColumn("turn_idx", (F.row_number().over(w) - 1).cast("int"))
+        .select("conv_id", "turn_idx", "role", "text", "tool", "ts", "fmt_hint")
+    )
+
+
+def write_transcripts(spark: SparkSession, path: str, n_turns: int,
+                      n_convs: int | None = None) -> None:
+    synth_transcripts(spark, n_turns, n_convs).write.mode("overwrite").parquet(path)
