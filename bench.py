@@ -1,0 +1,91 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "extract_turns_per_sec": ...}
+
+The extraction headline synthesizes sf-proportional transcript turns
+(1M * sf) covering every payload case incl. skew, runs the full
+salted-repartition + Arrow-extraction pipeline, and reports turns/sec
+(the BASELINE.json metric).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def main() -> None:
+    import __spark_entry__ as E
+    from tool_documentsconverter_spark.operators.extract import extract
+    from tool_documentsconverter_spark.plans import pipeline as P
+    from tool_documentsconverter_spark.session import get_spark
+    from tool_documentsconverter_spark.sources.transcripts import synth_transcripts
+
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(m.group(1)) if m else 0.1
+    n_turns = max(1000, int(1_000_000 * sf))
+
+    spark = get_spark(app="bench", master=f"local[{CPUS}]",
+                      shuffle_partitions=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # headline: full extraction pipeline over synthetic transcripts
+    transcripts = synth_transcripts(spark, n_turns, partitions=CPUS * 2)
+    transcripts.cache().count()  # materialize input outside the timing
+
+    def run_extract():
+        heavy = P.heavy_conv_ids(transcripts)
+        staged = P.partition_for_extraction(transcripts, heavy,
+                                            num_partitions=CPUS * 2)
+        return extract(staged, hint_col="fmt_hint").count()
+
+    extracted_rows = timed("extract_pipeline", run_extract)
+    extract_tps = round(extracted_rows / timings["extract_pipeline"], 1)
+
+    # operator benchmarks from the query inventory
+    qs = E.queries()
+    for name in [
+        "transcript_flagship", "text_wrap_md", "tpch_q1", "revenue_topk",
+        "broadcast_dim_join", "events_json", "dedup_exact",
+        "minhash_lsh_pairs", "simhash", "textstats", "lang_id",
+        "ann_brute_topk", "ann_lsh_topk",
+    ]:
+        fn = qs[name]
+        timed(name, lambda f=fn: f(spark, SF_DIR).count())
+
+    transcripts.unpersist()
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "extract_turns": extracted_rows,
+        "extract_turns_per_sec": extract_tps,
+        "cpus": CPUS,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

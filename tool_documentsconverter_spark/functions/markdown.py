@@ -31,9 +31,11 @@ def wrap_turn_md(conv_id: Column, turn_idx: Column, text: Column) -> Column:
 def verify_markdown(md: Column) -> Column:
     """Column twin of kernels.verify_markdown — the D2 gate
     (delete_manager.py:102-130): non-null, length > 0, first 1KB
-    non-blank."""
+    non-blank.  NB: `rlike('\\S')`, not `trim != ''` — SQL trim strips
+    only spaces whereas the reference's Python .strip() strips ALL
+    whitespace."""
     return (
         md.isNotNull()
         & (F.length(md) > 0)
-        & (F.trim(F.substring(md, 1, 1024)) != "")
+        & F.substring(md, 1, 1024).rlike(r"\S")
     )

@@ -1,0 +1,62 @@
+"""spark-submit entry point for the north-rule extraction job.
+
+    spark-submit --py-files engine.zip \
+        tool_documentsconverter_spark/jobs/extract_job.py \
+        --input /path/transcripts --output /path/out \
+        --lineage /path/lineage [--force] [--buckets 64]
+
+Also runnable as plain `python -m tool_documentsconverter_spark.jobs.
+extract_job --master local[8] ...` (used by scripts/scaling_evidence.py
+to demonstrate N -> 4N scaling).  Prints ONE JSON summary line:
+rows, ok/failed counts, elapsed seconds, turns/sec.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True, help="transcripts parquet path")
+    p.add_argument("--output", required=True)
+    p.add_argument("--lineage", required=True)
+    p.add_argument("--master", default=None)
+    p.add_argument("--buckets", type=int, default=64)
+    p.add_argument("--salt", type=int, default=8)
+    p.add_argument("--partitions", type=int, default=None)
+    p.add_argument("--force", action="store_true")
+    p.add_argument("--snapshot", default="")
+    args = p.parse_args(argv)
+
+    from ..plans.pipeline import run_extract_job
+    from ..session import get_spark
+
+    spark = get_spark(app="extract-job", master=args.master)
+    t0 = time.perf_counter()
+    transcripts = spark.read.parquet(args.input)
+    summary = run_extract_job(
+        spark, transcripts, args.output, args.lineage,
+        n_buckets=args.buckets, force=args.force, salt=args.salt,
+        num_partitions=args.partitions,
+        input_snapshot=args.snapshot or args.input,
+    )
+    elapsed = time.perf_counter() - t0
+    print(json.dumps({
+        "rows_out": summary.rows_out,
+        "ok": summary.ok,
+        "failed": summary.failed,
+        "buckets_processed": summary.buckets_processed,
+        "buckets_skipped": summary.buckets_skipped,
+        "elapsed_sec": round(elapsed, 3),
+        "turns_per_sec": round(summary.rows_out / elapsed, 1) if elapsed else 0,
+    }))
+    spark.stop()
+    return 0 if summary.rows_out >= 0 else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
