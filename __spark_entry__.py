@@ -714,9 +714,63 @@ FROM documents
 """
 
 
+def _q_xlsx_sheet_csv(spark, sf_dir):
+    # E9/F7 fan-out: every document becomes a 2-sheet workbook; one
+    # output row per produced CSV, bytes per the reference dialect
+    from tool_documentsconverter_spark.operators.xlsx_csv import workbooks_to_csv
+
+    docs = _t(spark, sf_dir, "documents")
+    payload = F.format_string(
+        '{"sheets":[{"name":"data","rows":[["%s","%s"],["%s",null]]},'
+        '{"name":"meta","rows":[["%s"]]}]}',
+        F.col("doc_id").cast("string"), F.col("lang"),
+        F.col("n_chars").cast("string"), F.col("source"),
+    )
+    wb = docs.select(
+        F.concat(F.lit("doc"), F.col("doc_id").cast("string")).alias("stem"),
+        payload.alias("payload"),
+    )
+    return workbooks_to_csv(wb).select("stem", "csv_name", "csv_text", "status")
+
+
+_SQL_XLSX = """
+SELECT 'doc' || CAST(doc_id AS VARCHAR) AS stem,
+       'doc' || CAST(doc_id AS VARCHAR) || '__data.csv' AS csv_name,
+       CAST(doc_id AS VARCHAR) || ',' || lang || chr(13) || chr(10)
+       || CAST(n_chars AS VARCHAR) || ',' || chr(13) || chr(10) AS csv_text,
+       'ok' AS status
+FROM documents
+UNION ALL
+SELECT 'doc' || CAST(doc_id AS VARCHAR) AS stem,
+       'doc' || CAST(doc_id AS VARCHAR) || '__meta.csv' AS csv_name,
+       source || chr(13) || chr(10) AS csv_text,
+       'ok' AS status
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # non-SQL-expressible: full extraction kernel dispatch (rows-only check)
 # ---------------------------------------------------------------------------
+def _q_media_features(spark, sf_dir):
+    from tool_documentsconverter_spark.operators.multimodal import (
+        extract_media_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    magic = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit(bytes(b"\xff\xd8\xff")))
+        .when(F.col("doc_id") % 3 == 1, F.lit(bytes(b"\x89PNG")))
+        .otherwise(F.lit(bytes(b"RIFF")))
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(magic, F.encode(F.col("text"), "UTF-8")).alias("payload"),
+    )
+    return extract_media_features(media)
+
+
+
 def _q_extract_dispatch(spark, sf_dir):
     from tool_documentsconverter_spark.operators.extract import extract
     from tool_documentsconverter_spark.sources.transcripts import synth_transcripts
@@ -763,9 +817,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_topk": _q_ann_brute,
         "embedding_norms": _q_embedding_norms,
         "multimodal_meta": _q_multimodal_meta,
+        "xlsx_sheet_csv": _q_xlsx_sheet_csv,
         # rows-only (non-SQL-expressible) checks:
         "extract_dispatch": _q_extract_dispatch,
         "ann_lsh_topk": _q_lsh_ann,
+        "media_features": _q_media_features,
     }
 
 
@@ -796,4 +852,5 @@ def oracle_sql() -> dict[str, str]:
         "ann_brute_topk": _SQL_ANN_BRUTE,
         "embedding_norms": _SQL_EMBEDDING_NORMS,
         "multimodal_meta": _SQL_MULTIMODAL,
+        "xlsx_sheet_csv": _SQL_XLSX,
     }

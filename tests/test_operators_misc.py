@@ -1,0 +1,77 @@
+"""XLSX fan-out, multimodal plumbing, and streaming variant tests."""
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from tool_documentsconverter_spark.operators.multimodal import (
+    extract_media_features, sniff_media,
+)
+from tool_documentsconverter_spark.operators.xlsx_csv import workbooks_to_csv
+
+
+def test_workbooks_explode_to_csv(spark):
+    wb = json.dumps({"sheets": [
+        {"name": "data", "rows": [[1, "a"], [None, 2.5]]},
+        {"name": "b/ad", "rows": [["x,y"]]},
+    ]})
+    wb_single = json.dumps({"sheets": [{"name": "only", "rows": [["z"]]}]})
+    df = spark.createDataFrame(
+        [("book1", wb), ("book2", wb_single), ("broken", "{not json")],
+        "stem string, payload string",
+    )
+    rows = {(r.stem, r.csv_name): r for r in workbooks_to_csv(df).collect()}
+    # fan-out: multi-sheet -> stem__sheet.csv (xlsx_to_csv/main.py:139-147)
+    assert rows[("book1", "book1__data.csv")].csv_text == "1,a\r\n,2.5\r\n"
+    assert rows[("book1", "book1__b_ad.csv")].csv_text == '"x,y"\r\n'
+    assert rows[("book2", "book2.csv")].csv_text == "z\r\n"
+    # failure isolation: bad payload -> failed row, job completes
+    assert rows[("broken", None)].status == "failed"
+    assert len(rows) == 4
+
+
+def test_media_features_stub(spark):
+    jpeg = b"\xff\xd8\xff" + b"fakejpegbody"
+    png = b"\x89PNG\r\n" + b"fakepngbody"
+    junk = b"zzzz"
+    df = spark.createDataFrame(
+        [(1, jpeg), (2, png), (3, junk)], "media_id long, payload binary"
+    )
+    rows = {r.media_id: r for r in extract_media_features(df).collect()}
+    assert rows[1].kind == "jpeg" and rows[2].kind == "png"
+    assert rows[3].kind == "unknown"
+    assert rows[1].payload_bytes == len(jpeg)
+    # stub decode is deterministic
+    assert rows[1].width == rows[1].width and rows[1].mode == "STUB"
+    assert all(r.status == "ok" for r in rows.values())
+
+
+def test_sniff_media_pure():
+    assert sniff_media(b"\xff\xd8\xffxx") == "jpeg"
+    assert sniff_media(b"RIFFxxxx") == "riff"
+    assert sniff_media(None) == "unknown"
+
+
+def test_stream_extract_available_now(spark, tmp_path):
+    from tool_documentsconverter_spark.sources.transcripts import write_transcripts
+    from tool_documentsconverter_spark.streaming.stream_extract import (
+        run_stream_extract,
+    )
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    write_transcripts(spark, inp, 120)
+
+    q = run_stream_extract(spark, inp, out, ckpt)
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 120
+    assert {r.status for r in got.select("status").distinct().collect()} \
+        <= {"ok", "failed"}
+
+    # restart with same checkpoint: no new data -> no duplicates
+    q2 = run_stream_extract(spark, inp, out, ckpt)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 120

@@ -1,0 +1,82 @@
+"""Physical-plan assertions: the optimizations we rely on at 100 TB
+must actually appear in the plan, not just in comments.
+"""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tool_documentsconverter_spark.functions.markdown import wrap_turn_md
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def explain(df) -> str:
+    jvm = df.sparkSession._jvm  # noqa: SLF001
+    return jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_reaches_parquet_scan(docs):
+    q = docs.where(F.col("doc_id") < 100).select("doc_id", "n_chars")
+    plan = explain(q)
+    # predicate pushed into the scan and schema pruned to 2 columns
+    assert "PushedFilters" in plan
+    assert "LessThan(doc_id,100)" in plan.replace(" ", "")
+    assert "text" not in plan.split("ReadSchema")[1][:200]
+
+
+def test_column_pruning(docs):
+    q = docs.select("doc_id")
+    plan = explain(q)
+    read_schema = plan.split("ReadSchema")[1][:120]
+    assert "doc_id" in read_schema and "text" not in read_schema
+
+
+def test_broadcast_join_for_small_dim(spark, sf_dir):
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    q = cust.join(F.broadcast(nation),
+                  cust.c_nationkey == nation.n_nationkey)
+    assert "BroadcastHashJoin" in explain(q)
+
+
+def test_antijoin_bucket_skip_is_scan_filter(spark):
+    """The resume skip must be a literal isin filter (pushdown-able),
+    not a join."""
+    from tool_documentsconverter_spark.plans.pipeline import with_bucket
+    from tool_documentsconverter_spark.sources.transcripts import synth_transcripts
+
+    df = with_bucket(synth_transcripts(spark, 50), 8)
+    skipped = df.where(~F.col("bucket").isin([0, 1]))
+    plan = explain(skipped)
+    assert "Join" not in plan  # the skip is a filter, never a shuffle
+
+
+def test_markdown_wrap_is_codegen(docs):
+    """The pure-column emitter must stay inside WholeStageCodegen —
+    no Python/Arrow eval node in the plan."""
+    df = docs.select(
+        wrap_turn_md(F.col("source"), (F.col("doc_id") % 100).cast("int"),
+                     F.col("text")).alias("md")
+    )
+    plan = explain(df)
+    assert "codegen id" in plan  # whole-stage codegen spans the Project
+    for bad in ("ArrowEvalPython", "BatchEvalPython", "MapInArrow"):
+        assert bad not in plan
+
+
+def test_extraction_has_single_python_stage(spark):
+    """Exactly one Arrow/Python boundary in the extraction plan —
+    the dispatch lives inside the stage, not as one UDF per format."""
+    from tool_documentsconverter_spark.operators.extract import extract
+    from tool_documentsconverter_spark.sources.transcripts import synth_transcripts
+
+    out = extract(synth_transcripts(spark, 50), hint_col="fmt_hint")
+    plan = explain(out)
+    # synth itself uses one MapInArrow; extraction adds exactly one more
+    assert plan.count("MapInArrow") <= 2

@@ -39,17 +39,16 @@ FAILED = "failed"
 MESSAGE_TAIL = 1200
 
 _SANITIZE_CHARS = ['/', '\\', ':', '*', '?', '"', '<', '>', '|']
+_SANITIZE_TABLE = str.maketrans({c: "_" for c in _SANITIZE_CHARS})
 
 
 def sanitize_stem(name: str, default: str = "document") -> str:
     """Filename-sanitize: replace ``/\\:*?"<>|`` with ``_``, strip,
     fall back to a default.  Reference: ``safe_stem``
     (doc_to_md/main.py:244-249) and ``_sanitize_filename``
-    (xlsx_to_csv/main.py:64-67, default "sheet")."""
-    s = name
-    for ch in _SANITIZE_CHARS:
-        s = s.replace(ch, "_")
-    return s.strip() or default
+    (xlsx_to_csv/main.py:64-67, default "sheet").  One-pass
+    str.translate — this runs per turn in the hot path."""
+    return name.translate(_SANITIZE_TABLE).strip() or default
 
 
 def turn_stem(conv_id: str, turn_idx: int) -> str:

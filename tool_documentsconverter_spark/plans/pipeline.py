@@ -73,15 +73,20 @@ def heavy_conv_ids(df: DataFrame,
     O(sample) and the result is a tiny driver-side list, broadcast
     implicitly in the salt expression."""
     sample = df.select("conv_id").sample(fraction=fraction, seed=seed)
-    counts = sample.groupBy("conv_id").count()
-    total = sample.count()
-    if total < HEAVY_MIN_SAMPLE_ROWS:
-        counts = df.select("conv_id").groupBy("conv_id").count()
-        total = df.count()
-    if total == 0:
+    # one job; driver state bounded: a heavy key is by definition in the
+    # top of the count order, so top-1024 suffices even when the sample
+    # contains millions of distinct conversations
+    agg = sample.groupBy("conv_id").count()
+    obs_total = sample.count()
+    if obs_total < HEAVY_MIN_SAMPLE_ROWS:
+        agg = df.select("conv_id").groupBy("conv_id").count()
+        obs_total = df.count()
+    if obs_total == 0:
         return []
-    rows = counts.where(F.col("count") > threshold * total).collect()
-    return sorted(r["conv_id"] for r in rows)
+    rows = agg.orderBy(F.desc("count")).limit(1024).collect()
+    return sorted(
+        r["conv_id"] for r in rows if r["count"] > threshold * obs_total
+    )
 
 
 def salted(df: DataFrame, heavy: Sequence[str],
