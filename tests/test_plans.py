@@ -76,7 +76,11 @@ def test_extraction_has_single_python_stage(spark):
     from tool_documentsconverter_spark.operators.extract import extract
     from tool_documentsconverter_spark.sources.transcripts import synth_transcripts
 
+    import re
+
     out = extract(synth_transcripts(spark, 50), hint_col="fmt_hint")
     plan = explain(out)
-    # synth itself uses one MapInArrow; extraction adds exactly one more
-    assert plan.count("MapInArrow") <= 2
+    # tree nodes look like "MapInArrow (5)"; synth contributes one,
+    # extraction must add exactly one more (dispatch inside the stage,
+    # not one UDF per format)
+    assert len(re.findall(r"MapInArrow \(\d+\)", plan)) <= 2
