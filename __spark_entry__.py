@@ -102,14 +102,17 @@ def _q_sanitize(spark, sf_dir):
 
 
 _SQL_SANITIZE = r"""
+WITH s AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace('a/' || source || ':b*c?"d<e>f|' || lang,
+                          '[/\\:*?"<>|]', '_', 'g'),
+           '^\s+|\s+$', '', 'g') AS cleaned
+  FROM documents
+)
 SELECT doc_id,
-       CASE WHEN trim(regexp_replace('a/' || source || ':b*c?"d<e>f|' || lang,
-                                     '[/\\:*?"<>|]', '_', 'g')) = ''
-            THEN 'document'
-            ELSE trim(regexp_replace('a/' || source || ':b*c?"d<e>f|' || lang,
-                                     '[/\\:*?"<>|]', '_', 'g'))
-       END AS stem
-FROM documents
+       CASE WHEN cleaned = '' THEN 'document' ELSE cleaned END AS stem
+FROM s
 """
 
 
@@ -208,6 +211,111 @@ def _q_skip_antijoin(spark, sf_dir):
 
 _SQL_SKIP_ANTIJOIN = """
 SELECT doc_id, source, n_chars FROM documents WHERE doc_id % 7 <> 0
+"""
+
+
+def _q_exclude_predicates(spark, sf_dir):
+    # F1 exclude-dir + F2 hidden + F3 type-include predicates
+    # (doc_to_md/main.py:207-216) over a derived path column; kept as
+    # Column exprs so they push into the scan (SURVEY.md O2)
+    docs = _t(spark, sf_dir, "documents")
+    path = F.concat(F.col("source"), F.lit("/"),
+                    F.when(F.col("doc_id") % 9 == 0, F.lit(".hidden/"))
+                    .otherwise(F.lit("docs/")),
+                    F.col("doc_id").cast("string"), F.lit(".pdf"))
+    exclude = ["src3", "src7"]  # stand-in for .git/node_modules/...
+    return (
+        docs.withColumn("path", path)
+        .where(~F.col("source").isin(exclude))           # F1
+        .where(~F.col("path").contains("/.") )           # F2 hidden
+        .where(F.col("lang").isin("en", "de", "fr"))     # F3 include
+        .select("doc_id", "path", "lang")
+    )
+
+
+_SQL_EXCLUDE = """
+SELECT doc_id,
+       source || '/' || CASE WHEN doc_id % 9 = 0 THEN '.hidden/'
+                             ELSE 'docs/' END
+       || CAST(doc_id AS VARCHAR) || '.pdf' AS path,
+       lang
+FROM documents
+WHERE source NOT IN ('src3', 'src7')
+  AND doc_id % 9 <> 0
+  AND lang IN ('en', 'de', 'fr')
+"""
+
+
+def _q_union_branches(spark, sf_dir):
+    # §2.8 set ops: two projection branches recombined by name, then
+    # distinct — the unionByName shape used when extraction branches
+    # are split (the engine itself keeps a single stage; this proves
+    # the operator)
+    docs = _t(spark, sf_dir, "documents")
+    a = docs.where(F.col("n_chars") > 300).select(
+        "doc_id", F.lit("long").alias("kind"))
+    b = docs.where(F.col("lang") == "zh").select(
+        F.lit("zh").alias("kind"), "doc_id")  # reversed column order
+    return a.unionByName(b).distinct()
+
+
+_SQL_UNION = """
+SELECT DISTINCT * FROM (
+  SELECT doc_id, 'long' AS kind FROM documents WHERE n_chars > 300
+  UNION ALL
+  SELECT doc_id, 'zh' AS kind FROM documents WHERE lang = 'zh'
+)
+"""
+
+
+def _q_sessionize(spark, sf_dir):
+    # gap-based sessionization over the events stream: a new session
+    # starts after a >30-minute silence per user (lag window + running
+    # sum — the standard Spark shape; conversations sessionize the
+    # same way over ts per conv_id)
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    marked = ev.select(
+        "user_id", "ts",
+        F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0))
+        .alias("new_session"),
+    )
+    sess = marked.withColumn(
+        "session_id", F.sum("new_session").over(
+            Window.partitionBy("user_id").orderBy("ts")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("events"),
+             F.unix_timestamp(F.min("ts")).alias("session_start_epoch"))
+        .orderBy("user_id", "session_id")
+    )
+
+
+_SQL_SESSIONIZE = """
+WITH marked AS (
+  -- floor(epoch(..)) everywhere: Spark's unix_timestamp truncates
+  -- sub-second precision, DuckDB's epoch() keeps it (and its
+  -- double->bigint CAST rounds); align on whole seconds
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR floor(epoch(ts))
+                   - floor(epoch(lag(ts) OVER (PARTITION BY user_id
+                                               ORDER BY ts))) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), sess AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id, session_id, count(*) AS events,
+       CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_epoch
+FROM sess GROUP BY user_id, session_id
+ORDER BY user_id, session_id
 """
 
 
@@ -363,6 +471,53 @@ FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name ORDER BY r_name
+"""
+
+
+def _q_rollup(spark, sf_dir):
+    # hierarchical totals via ROLLUP (subtotal + grand-total rows);
+    # grouping-set machinery the engine gets free from Catalyst
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("cnt"),
+             F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_SQL_ROLLUP = """
+SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def _q_percentiles(spark, sf_dir):
+    # exact interpolated percentiles per group (Spark `percentile` ==
+    # DuckDB `quantile_cont`, both linear interpolation)
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 2).alias("p50"),
+            F.round(F.expr("percentile(l_extendedprice, 0.95)"), 2).alias("p95"),
+            F.round(F.min("l_extendedprice"), 2).alias("lo"),
+            F.round(F.max("l_extendedprice"), 2).alias("hi"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_SQL_PERCENTILES = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+       round(quantile_cont(l_extendedprice, 0.95), 2) AS p95,
+       round(min(l_extendedprice), 2) AS lo,
+       round(max(l_extendedprice), 2) AS hi
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
@@ -634,6 +789,85 @@ LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.doc_id = b.doc_id
 """
 
 
+def _q_corpus_curation(spark, sf_dir):
+    """The composite training-data pipeline: quality-gate -> exact-dedup
+    keeper selection -> language ID, all in one plan (the shape a 100 TB
+    curation job actually runs; each stage is the operator proven
+    individually above)."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "text",
+        TS.quality_score(F.col("text")).alias("quality"),
+        F.md5(F.lower(F.trim(F.coalesce(F.col("text"), F.lit(""))))
+              ).alias("content_md5"),
+    ).where(F.col("quality") >= 0.5)
+    keepers = (
+        scored.groupBy("content_md5")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    kept = scored.join(keepers, on="doc_id", how="inner")
+    lang = TS.detect_language(
+        kept.select("doc_id", "text"), "doc_id", "text", spark
+    ).select("doc_id", "detected_lang")
+    return (
+        kept.join(lang, on="doc_id")
+        .groupBy("detected_lang")
+        .agg(F.count(F.lit(1)).alias("docs"),
+             F.round(F.avg("quality"), 6).alias("avg_quality"))
+        .orderBy("detected_lang")
+    )
+
+
+_SQL_CURATION = r"""
+WITH scored AS (
+  SELECT doc_id, text,
+         round((least(length(coalesce(text,'')) / 500.0, 1.0)
+           + (1.0 - least(CASE WHEN length(coalesce(text,'')) = 0 THEN 0.0
+               ELSE len(regexp_extract_all(coalesce(text,''), '[^\w\s]'))
+                    * 1.0 / length(coalesce(text,'')) END * 5.0, 1.0))
+           + least(CASE WHEN lower(trim(coalesce(text,''))) = '' THEN 0.0
+               ELSE len(list_filter(
+                      string_split_regex(lower(trim(coalesce(text,''))), '\s+'),
+                      x -> x IN ('the','a','of','and','to','in','is'))) * 1.0
+                    / len(string_split_regex(lower(trim(coalesce(text,''))), '\s+'))
+               END * 4.0, 1.0)) / 3.0, 6) AS quality,
+         md5(lower(trim(coalesce(text, '')))) AS content_md5
+  FROM documents
+), gated AS (
+  SELECT * FROM scored WHERE quality >= 0.5
+), keepers AS (
+  SELECT min(doc_id) AS doc_id FROM gated GROUP BY content_md5
+), kept AS (
+  SELECT g.* FROM gated g JOIN keepers k ON g.doc_id = k.doc_id
+), markers(lang, marker) AS (VALUES
+  ('en','the'),('en','and'),('en','of'),('en','is'),('en','to'),
+  ('de','der'),('de','die'),('de','und'),('de','ist'),('de','nicht'),
+  ('fr','le'),('fr','la'),('fr','et'),('fr','est'),('fr','les'),
+  ('es','el'),('es','la'),('es','que'),('es','de'),('es','es'),
+  ('zh','的'),('zh','是'),('zh','了'),('zh','在'),('zh','我')
+), toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(trim(coalesce(text, ''))), '\s+')) AS tok
+  FROM kept
+), hits AS (
+  SELECT t.doc_id, m.lang, count(*) AS hits
+  FROM toks t JOIN markers m ON t.tok = m.marker GROUP BY 1, 2
+), best AS (
+  SELECT doc_id, lang FROM (
+    SELECT doc_id, lang,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY hits DESC, lang ASC) AS rn
+    FROM hits) WHERE rn = 1
+)
+SELECT coalesce(b.lang, 'und') AS detected_lang,
+       count(*) AS docs,
+       round(avg(k.quality), 6) AS avg_quality
+FROM kept k LEFT JOIN best b ON k.doc_id = b.doc_id
+GROUP BY 1 ORDER BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline: similarity search over embeddings
 # ---------------------------------------------------------------------------
@@ -799,10 +1033,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heading_classifier": _q_heading_classifier,
         "message_tail": _q_message_tail,
         "skip_antijoin": _q_skip_antijoin,
+        "exclude_predicates": _q_exclude_predicates,
+        "union_branches": _q_union_branches,
+        "sessionize": _q_sessionize,
         "verify_gate_counts": _q_verify_gate,
         "top1_per_source": _q_top1_per_source,
         "lineage_agg": _q_lineage_agg,
         "tpch_q1": _q_q1,
+        "rollup_agg": _q_rollup,
+        "exact_percentiles": _q_percentiles,
         "revenue_topk": _q_revenue_topk,
         "broadcast_dim_join": _q_broadcast_dim,
         "events_json": _q_events_json,
@@ -814,6 +1053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "textstats": _q_textstats,
         "lang_id": _q_langid,
+        "corpus_curation": _q_corpus_curation,
         "ann_brute_topk": _q_ann_brute,
         "embedding_norms": _q_embedding_norms,
         "multimodal_meta": _q_multimodal_meta,
@@ -834,10 +1074,15 @@ def oracle_sql() -> dict[str, str]:
         "heading_classifier": _SQL_HEADING,
         "message_tail": _SQL_MESSAGE_TAIL,
         "skip_antijoin": _SQL_SKIP_ANTIJOIN,
+        "exclude_predicates": _SQL_EXCLUDE,
+        "union_branches": _SQL_UNION,
+        "sessionize": _SQL_SESSIONIZE,
         "verify_gate_counts": _SQL_VERIFY_GATE,
         "top1_per_source": _SQL_TOP1,
         "lineage_agg": _SQL_LINEAGE,
         "tpch_q1": _SQL_Q1,
+        "rollup_agg": _SQL_ROLLUP,
+        "exact_percentiles": _SQL_PERCENTILES,
         "revenue_topk": _SQL_REVENUE_TOPK,
         "broadcast_dim_join": _SQL_BROADCAST_DIM,
         "events_json": _SQL_EVENTS_JSON,
@@ -849,6 +1094,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _SQL_SIMHASH,
         "textstats": _SQL_TEXTSTATS,
         "lang_id": _SQL_LANGID,
+        "corpus_curation": _SQL_CURATION,
         "ann_brute_topk": _SQL_ANN_BRUTE,
         "embedding_norms": _SQL_EMBEDDING_NORMS,
         "multimodal_meta": _SQL_MULTIMODAL,

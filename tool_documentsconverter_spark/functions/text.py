@@ -15,9 +15,13 @@ SANITIZE_RE = r'[/\\:*?"<>|]'
 
 
 def sanitize_stem(col: Column, default: str = "document") -> Column:
-    """Column twin of kernels.sanitize_stem: blacklist -> '_', trim,
-    default when empty."""
-    cleaned = F.trim(F.regexp_replace(col, SANITIZE_RE, "_"))
+    """Column twin of kernels.sanitize_stem: blacklist -> '_', strip,
+    default when empty.  Whitespace strip via regexp (NOT F.trim —
+    SQL trim strips spaces only, Python .strip() strips all
+    whitespace; the kernel and this twin must agree byte-for-byte)."""
+    cleaned = F.regexp_replace(
+        F.regexp_replace(col, SANITIZE_RE, "_"), r"^\s+|\s+$", ""
+    )
     return F.when(cleaned == "", F.lit(default)).otherwise(cleaned)
 
 

@@ -40,7 +40,10 @@ from pyspark.sql import functions as F
 from ..operators.extract import extract, with_sniffed_format
 
 DEFAULT_BUCKETS = 64
-DEFAULT_SALT = 8
+# salt granularity for oversized conversations: finer chunks smooth the
+# partition-balance tail (a heavy conv split 32 ways never dominates a
+# task even when several chunks hash-collide into one partition)
+DEFAULT_SALT = 32
 HEAVY_SAMPLE_FRACTION = 0.05
 HEAVY_MIN_SAMPLE_ROWS = 200
 
@@ -55,6 +58,7 @@ class JobSummary:
     buckets_processed: int
     buckets_skipped: int
     seconds: float
+    phase_seconds: dict | None = None
 
 
 def with_bucket(df: DataFrame, n_buckets: int = DEFAULT_BUCKETS) -> DataFrame:
@@ -162,10 +166,27 @@ def run_extract_job(
     if only_buckets is not None:
         df = df.where(F.col("bucket").isin(list(only_buckets)))
 
+    phases: dict = {}
+    t = time.perf_counter()
     heavy = heavy_conv_ids(df)
-    staged = partition_for_extraction(df, heavy, num_partitions, salt)
+    phases["sketch"] = round(time.perf_counter() - t, 2)
+    # shuffle key is (bucket, salt), NOT (conv_id, salt): bucket is a
+    # function of conv_id so conversations stay co-located (the stable
+    # per-conv ordering still holds after sortWithinPartitions), but
+    # each task now holds ~1 bucket, so partitionBy(bucket) writes
+    # O(tasks) files instead of O(tasks x buckets)
+    staged = (
+        salted(df, heavy, salt)
+        .repartition(num_partitions or n_buckets, "bucket", "salt")
+        .sortWithinPartitions("conv_id", "turn_idx")
+        .drop("salt")
+    )
+    # drop the raw payload from the OUTPUT: md already embeds the
+    # extracted content, and carrying text through the write doubles
+    # the output volume (the reference likewise writes only the .md
+    # artifact, never a copy of the source)
     extracted = extract(staged, hint_col="fmt_hint").drop(
-        *(c for c in ("fmt_hint",) if c in staged.columns)
+        "text", *(c for c in ("fmt_hint",) if c in staged.columns)
     )
 
     # single pass: write + observe counters (A1 status aggregation via
@@ -179,14 +200,17 @@ def run_extract_job(
         F.count_if(F.col("status") == "ok").alias("ok"),
         F.count_if(F.col("status") == "failed").alias("failed"),
     )
+    t = time.perf_counter()
     (
         observed.write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(output_path)
     )
     m = obs.get
+    phases["extract_write"] = round(time.perf_counter() - t, 2)
 
     # lineage commit AFTER the write: read back committed buckets only
+    t = time.perf_counter()
     out = spark.read.parquet(output_path)
     if done:
         out = out.where(~F.col("bucket").isin(done))
@@ -205,6 +229,7 @@ def run_extract_job(
                 "error_count", "committed_at")
     )
     lineage.write.mode("append").parquet(lineage_path)
+    phases["lineage_commit"] = round(time.perf_counter() - t, 2)
 
     return JobSummary(
         rows_in=int(m["rows_out"]),
@@ -214,6 +239,7 @@ def run_extract_job(
         buckets_processed=n_buckets - skipped,
         buckets_skipped=skipped,
         seconds=time.perf_counter() - t0,
+        phase_seconds=phases,
     )
 
 

@@ -109,8 +109,35 @@ def make_pdf(i: int) -> str:
     )
 
 
-def payload_for(i: int) -> Tuple[str, str]:
-    """(text, fmt_hint) for row index i — the P1..P10 cycle."""
+def payload_for(i: int, mix: str = "fixtures") -> Tuple[str, str]:
+    """(text, fmt_hint) for row index i.
+
+    mix='fixtures': the P1..P10 cycle — every emission path each 10
+    rows (correctness-oriented; 60% structured payloads, ~6x more
+    parse-heavy than a real corpus).
+    mix='realistic': 90% plain text, 10% structured — the throughput
+    profile of an actual transcript corpus (most turns are prose/tool
+    output; documents are the exception).
+    """
+    if mix == "realistic":
+        c = i % 100
+        if c < 90:
+            return (
+                f"Assistant turn {i}: analysis paragraph with enough prose "
+                f"to look like a real reply.\n\nSecond paragraph {i % 7}.",
+                "",
+            )
+        if c < 93:
+            return (_DOCX_HEADINGS.replace("{i}", str(i)), "")
+        if c < 94:
+            return (_DOCX_RAW.replace("{i}", str(i)), "")
+        if c < 96:
+            return (make_pdf(i), "")
+        if c < 98:
+            return (_HTML.replace("{i}", str(i)), "")
+        if c < 99:
+            return ("", "")
+        return (f"\x00\x01BINARYGARBAGE{i}", "doc")
     case = i % 10
     if case == 0:  # P1 plain multi-paragraph, CJK + emoji
         return (
@@ -145,7 +172,7 @@ def conv_for(i: int, n_convs: int) -> str:
     return f"conv-{1 + (i * 2654435761) % (n_convs - 1):05d}"
 
 
-def _gen_factory(n_convs: int):
+def _gen_factory(n_convs: int, mix: str = "fixtures"):
     def gen(batches):
         for batch in batches:
             ids = batch.column(0).to_pylist()
@@ -159,7 +186,7 @@ def _gen_factory(n_convs: int):
                 "ts": [EPOCH + dt.timedelta(seconds=13 * i) for i in ids],
             }
             for i in ids:
-                t, h = payload_for(i)
+                t, h = payload_for(i, mix)
                 rows["text"].append(t)
                 rows["fmt_hint"].append(h)
             yield pa.RecordBatch.from_pydict(rows)
@@ -169,7 +196,8 @@ def _gen_factory(n_convs: int):
 
 def synth_transcripts(spark: SparkSession, n_turns: int,
                       n_convs: int | None = None,
-                      partitions: int | None = None) -> DataFrame:
+                      partitions: int | None = None,
+                      mix: str = "fixtures") -> DataFrame:
     if n_convs is None:
         n_convs = max(4, n_turns // 40)
     if partitions is None:
@@ -177,7 +205,7 @@ def synth_transcripts(spark: SparkSession, n_turns: int,
     base = spark.range(0, n_turns, 1, partitions)
     schema = ("i long, conv_id string, role string, tool string, "
               "text string, fmt_hint string, ts timestamp")
-    raw = base.mapInArrow(_gen_factory(n_convs), schema)
+    raw = base.mapInArrow(_gen_factory(n_convs, mix), schema)
     w = Window.partitionBy("conv_id").orderBy("i")
     return (
         raw.withColumn("turn_idx", (F.row_number().over(w) - 1).cast("int"))
@@ -186,5 +214,7 @@ def synth_transcripts(spark: SparkSession, n_turns: int,
 
 
 def write_transcripts(spark: SparkSession, path: str, n_turns: int,
-                      n_convs: int | None = None) -> None:
-    synth_transcripts(spark, n_turns, n_convs).write.mode("overwrite").parquet(path)
+                      n_convs: int | None = None,
+                      mix: str = "fixtures") -> None:
+    synth_transcripts(spark, n_turns, n_convs, mix=mix).write.mode(
+        "overwrite").parquet(path)
