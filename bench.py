@@ -52,14 +52,27 @@ def main() -> None:
     transcripts = synth_transcripts(spark, n_turns, partitions=CPUS * 2)
     transcripts.cache().count()  # materialize input outside the timing
 
-    def run_extract():
-        heavy = P.heavy_conv_ids(transcripts)
-        staged = P.partition_for_extraction(transcripts, heavy,
+    # warm the Python workers (spawn + imports) outside the timings —
+    # a long-running cluster pays this once per executor lifetime
+    extract(synth_transcripts(spark, 2000, partitions=CPUS),
+            hint_col="fmt_hint").count()
+
+    def run_extract(df):
+        heavy = P.heavy_conv_ids(df)
+        staged = P.partition_for_extraction(df, heavy,
                                             num_partitions=CPUS * 2)
         return extract(staged, hint_col="fmt_hint").count()
 
-    extracted_rows = timed("extract_pipeline", run_extract)
+    extracted_rows = timed("extract_pipeline",
+                           lambda: run_extract(transcripts))
     extract_tps = round(extracted_rows / timings["extract_pipeline"], 1)
+
+    realistic = synth_transcripts(spark, n_turns, partitions=CPUS * 2,
+                                  mix="realistic")
+    realistic.cache().count()
+    real_rows = timed("extract_realistic", lambda: run_extract(realistic))
+    real_tps = round(real_rows / timings["extract_realistic"], 1)
+    realistic.unpersist()
 
     # operator benchmarks from the query inventory
     qs = E.queries()
@@ -82,6 +95,7 @@ def main() -> None:
         "sf": sf,
         "extract_turns": extracted_rows,
         "extract_turns_per_sec": extract_tps,
+        "extract_realistic_turns_per_sec": real_tps,
         "cpus": CPUS,
     }))
     spark.stop()
