@@ -1018,6 +1018,29 @@ def _q_extract_dispatch(spark, sf_dir):
     )
 
 
+def _q_extract_binary(spark, sf_dir):
+    # binary-document path: bytes payloads with magic-byte dispatch
+    from tool_documentsconverter_spark.operators.extract_binary import (
+        extract_documents,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    payload = F.encode(
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit("%PDF-1.4\n1 0 obj\nstream\nBT ("),
+                        F.substring("text", 1, 40),
+                        F.lit(") Tj ET\nendstream\n")))
+        .otherwise(F.col("text")),
+        "UTF-8",
+    )
+    media = docs.select(F.col("doc_id"), payload.alias("payload"))
+    out = extract_documents(media)
+    return (
+        out.groupBy("status").agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("status")
+    )
+
+
 def _q_lsh_ann(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 3)
@@ -1060,6 +1083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xlsx_sheet_csv": _q_xlsx_sheet_csv,
         # rows-only (non-SQL-expressible) checks:
         "extract_dispatch": _q_extract_dispatch,
+        "extract_binary_dispatch": _q_extract_binary,
         "ann_lsh_topk": _q_lsh_ann,
         "media_features": _q_media_features,
     }

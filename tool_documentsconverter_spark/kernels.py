@@ -22,6 +22,7 @@ import csv
 import io
 import json
 import re
+import zipfile
 import xml.etree.ElementTree as ET
 from dataclasses import dataclass
 from html.parser import HTMLParser
@@ -236,15 +237,17 @@ def _para_text(p_elem) -> str:
     return "".join(t.text or "" for t in p_elem.iter() if _local(t.tag) == "t")
 
 
-def _para_style(p_elem) -> str:
+def _para_style(p_elem, style_map: Optional[dict] = None) -> str:
     """Style name of a paragraph.  python-docx resolves styleId ->
-    style name via styles.xml; our fixture convention (FIXTURES.md §3
-    P3) carries the style NAME verbatim in ``w:pStyle/@w:val``, default
-    'Normal'."""
+    style name via styles.xml (style_map, used on the binary path);
+    the string-payload fixture convention (FIXTURES.md §3 P3) carries
+    the style NAME verbatim in ``w:pStyle/@w:val``.  Default 'Normal'."""
     for el in p_elem.iter():
         if _local(el.tag) == "pStyle":
             for k, v in el.attrib.items():
                 if _local(k) == "val":
+                    if style_map:
+                        return style_map.get(v, v)
                     return v
     return "Normal"
 
@@ -263,7 +266,8 @@ def heading_level(style_name: str) -> Optional[int]:
     return 1
 
 
-def convert_docx_xml(stem: str, payload: str) -> str:
+def convert_docx_xml(stem: str, payload: str,
+                     style_map: Optional[dict] = None) -> str:
     """DOCX conversion over the raw OOXML ``word/document.xml`` string.
 
     Primary path replicates the python-docx walk of the reference
@@ -303,7 +307,7 @@ def convert_docx_xml(stem: str, payload: str) -> str:
             text = _para_text(child).strip()
             if not text:  # blank-paragraph drop (docx_converter.py:75-77)
                 continue
-            lvl = heading_level(_para_style(child))
+            lvl = heading_level(_para_style(child, style_map))
             if lvl is not None:
                 out.append(f"{'#' * lvl} {text}\n\n")
             else:
@@ -332,6 +336,78 @@ def convert_docx_xml(stem: str, payload: str) -> str:
             out.append(f"{row_text}|\n")
         out.append("\n")
     return "".join(out)
+
+
+def docx_style_map(zf: "zipfile.ZipFile") -> dict:
+    """styleId -> style name from word/styles.xml — the resolution
+    python-docx applies before the reference's ``style.name`` check
+    (docx_converter.py:79)."""
+    mapping: dict = {}
+    if "word/styles.xml" not in zf.namelist():
+        return mapping
+    root = ET.fromstring(zf.read("word/styles.xml"))
+    for style in root:
+        if _local(style.tag) != "style":
+            continue
+        sid = next((v for k, v in style.attrib.items()
+                    if _local(k) == "styleId"), None)
+        name = None
+        for el in style:
+            if _local(el.tag) == "name":
+                name = next((v for k, v in el.attrib.items()
+                             if _local(k) == "val"), None)
+                break
+        if sid and name:
+            mapping[sid] = name
+    return mapping
+
+
+def convert_docx_bytes(stem: str, payload: bytes) -> str:
+    """Real binary .docx: ZIP -> word/document.xml (+ styles.xml for
+    styleId->name), then the same DOM walk as the string path.  Mirrors
+    the reference's raw-ZIP handling (docx_converter.py:150-161) with
+    the python-docx E4/E5 semantics on top."""
+    zf = zipfile.ZipFile(io.BytesIO(payload))
+    if "word/document.xml" not in zf.namelist():
+        raise ValueError("not a DOCX: word/document.xml missing")
+    styles = docx_style_map(zf)
+    return convert_docx_xml(
+        stem, zf.read("word/document.xml").decode("utf-8"), style_map=styles
+    )
+
+
+def extract_document_bytes(doc_id: str, payload: Optional[bytes],
+                           fmt_hint: str = "") -> Tuple[str, str, str]:
+    """(md, status, message) for one binary document — the reference's
+    actual input shape (files as bytes).  Magic-byte dispatch:
+    %PDF- -> PDF, PK\\x03\\x04 -> DOCX-or-XLSX (xlsx handled by the
+    dedicated operator; here PK means docx), else decoded text/HTML via
+    the string kernels.  Same failure isolation as extract_turn."""
+    stem = sanitize_stem(doc_id)
+    try:
+        if payload is None:
+            raise ValueError("不支持的文件类型: empty payload")
+        if payload[:5] == b"%PDF-":
+            md = convert_pdf(stem, payload.decode("latin-1"))
+        elif payload[:4] == b"PK\x03\x04":
+            md = convert_docx_bytes(stem, payload)
+        else:
+            text = payload.decode("utf-8", errors="replace")
+            fmt = sniff_format(text, fmt_hint)
+            if fmt == FMT_UNKNOWN:
+                raise ValueError(f"不支持的文件类型: {fmt_hint or 'unknown'}")
+            if fmt == FMT_HTML:
+                md = convert_html(stem, text)
+            elif fmt == FMT_DOCX:
+                md = convert_docx_xml(stem, text)
+            else:
+                md = wrap_text_md(stem, text)
+        if not verify_markdown(md):
+            return md, FAILED, "verify failed: empty or blank output"
+        return md, OK, ""
+    except Exception as e:  # noqa: BLE001 — failure isolation by design
+        msg = str(e)[-MESSAGE_TAIL:]
+        return f"# {stem}\n\n转换错误: {msg}\n", FAILED, msg
 
 
 # --------------------------------------------------------------------------
@@ -480,6 +556,114 @@ def sheet_to_csv_text(rows: List[List]) -> str:
     return buf.getvalue()
 
 
+_A1_RE = re.compile(r"([A-Z]+)(\d+)")
+
+
+def _col_index(ref: str) -> int:
+    """'A'->0, 'B'->1, ... 'AA'->26 (cell reference column part)."""
+    n = 0
+    for ch in ref:
+        n = n * 26 + (ord(ch) - 64)
+    return n - 1
+
+
+def _xlsx_cell_value(c_elem, shared: List[str]):
+    """Decode one <c> cell to the Python value openpyxl would yield
+    under data_only=True: shared/inline strings -> str, t='b' -> bool,
+    numbers -> int when integral-looking else float, formula cells use
+    the cached <v>.  (Date styling is NOT applied — dates surface as
+    Excel serial numbers; documented gap vs openpyxl.)"""
+    t = c_elem.get("t", "n")
+    v_text = None
+    for child in c_elem:
+        tag = _local(child.tag)
+        if tag == "v":
+            v_text = child.text
+        elif tag == "is":  # inline string
+            return "".join(
+                el.text or "" for el in child.iter() if _local(el.tag) == "t"
+            )
+    if v_text is None:
+        return None
+    if t == "s":
+        return shared[int(v_text)]
+    if t == "b":
+        return v_text == "1"
+    if t in ("str", "inlineStr"):
+        return v_text
+    if re.fullmatch(r"-?\d+", v_text):
+        return int(v_text)
+    try:
+        return float(v_text)
+    except ValueError:
+        return v_text
+
+
+def parse_xlsx_bytes(payload: bytes) -> List[Tuple[str, List[List]]]:
+    """Pure-stdlib XLSX reader: [(sheet_name, rows)] in workbook order.
+
+    XLSX is a ZIP of XML (the same fact the reference's raw-DOCX
+    fallback exploits, docx_converter.py:150-161); this replays
+    openpyxl's ``load_workbook(data_only=True, read_only=True)`` view
+    (xlsx_to_csv/main.py:120) with zipfile + ElementTree: sheet order
+    from workbook.xml, rId->target from workbook.xml.rels, shared
+    strings resolved, rows padded to the sheet's max column the way
+    ``iter_rows(values_only=True)`` pads."""
+    zf = zipfile.ZipFile(io.BytesIO(payload))
+    names = set(zf.namelist())
+
+    shared: List[str] = []
+    if "xl/sharedStrings.xml" in names:
+        root = ET.fromstring(zf.read("xl/sharedStrings.xml"))
+        for si in root:
+            shared.append(
+                "".join(el.text or "" for el in si.iter()
+                        if _local(el.tag) == "t")
+            )
+
+    rels = {}
+    rel_path = "xl/_rels/workbook.xml.rels"
+    if rel_path in names:
+        for rel in ET.fromstring(zf.read(rel_path)):
+            rels[rel.get("Id")] = rel.get("Target", "")
+
+    wb = ET.fromstring(zf.read("xl/workbook.xml"))
+    sheets: List[Tuple[str, List[List]]] = []
+    for el in wb.iter():
+        if _local(el.tag) != "sheet":
+            continue
+        name = el.get("name", "")
+        rid = next((v for k, v in el.attrib.items() if _local(k) == "id"), "")
+        target = rels.get(rid, f"worksheets/sheet{len(sheets) + 1}.xml")
+        if not target.startswith("xl/"):
+            target = "xl/" + target.lstrip("/")
+        if target not in names:
+            sheets.append((name, []))
+            continue
+        ws = ET.fromstring(zf.read(target))
+        rows: List[List] = []
+        max_col = 0
+        for row in ws.iter():
+            if _local(row.tag) != "row":
+                continue
+            cells: dict = {}
+            for c in row:
+                if _local(c.tag) != "c":
+                    continue
+                ref = c.get("r", "")
+                m = _A1_RE.fullmatch(ref) if ref else None
+                idx = _col_index(m.group(1)) if m else len(cells)
+                cells[idx] = _xlsx_cell_value(c, shared)
+            if cells:
+                max_col = max(max_col, max(cells) + 1)
+            rows.append(cells)
+        padded = [
+            [r.get(i) for i in range(max_col)] for r in rows
+        ]
+        sheets.append((name, padded))
+    return sheets
+
+
 def convert_workbook(stem: str, payload: str, sheet: Optional[str] = None):
     """Workbook -> list of (csv_name, csv_text).
 
@@ -492,19 +676,34 @@ def convert_workbook(stem: str, payload: str, sheet: Optional[str] = None):
     -> ``{stem}__{sanitized_sheet}.csv``, single sheet (or --sheet)
     -> ``{stem}.csv``.  Missing --sheet name is an error (:126-132).
     """
-    wb = json.loads(payload)
-    sheets = wb.get("sheets", [])
-    names = [s.get("name", "") for s in sheets]
+    if isinstance(payload, (bytes, bytearray)):
+        try:
+            import openpyxl  # type: ignore  # real library when present
+
+            wb_real = openpyxl.load_workbook(
+                io.BytesIO(bytes(payload)), data_only=True, read_only=True
+            )
+            pairs = [
+                (sn, [list(r) for r in wb_real[sn].iter_rows(values_only=True)])
+                for sn in wb_real.sheetnames
+            ]
+        except ImportError:
+            pairs = parse_xlsx_bytes(bytes(payload))
+    else:
+        wb = json.loads(payload)
+        pairs = [(s.get("name", ""), s.get("rows", []))
+                 for s in wb.get("sheets", [])]
+    names = [n for n, _ in pairs]
     if sheet is not None:
         if sheet not in names:
             raise ValueError(f"sheet not found: {sheet}")
-        sheets = [s for s in sheets if s.get("name") == sheet]
-    multiple = len(sheets) > 1 and sheet is None
+        pairs = [(n, r) for n, r in pairs if n == sheet]
+    multiple = len(pairs) > 1 and sheet is None
     out = []
-    for s in sheets:
-        safe = sanitize_stem(s.get("name", ""), default="sheet")
+    for name, rows in pairs:
+        safe = sanitize_stem(name, default="sheet")
         csv_name = f"{stem}__{safe}.csv" if multiple else f"{stem}.csv"
-        out.append((csv_name, sheet_to_csv_text(s.get("rows", []))))
+        out.append((csv_name, sheet_to_csv_text(rows)))
     return out
 
 
