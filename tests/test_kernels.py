@@ -173,6 +173,36 @@ def test_html_nav_and_footer_stripped():
     assert K.convert_html("s", html) == "# s\n\nkeep me\n\n"
 
 
+def test_fast_scanner_matches_htmlparser_differential():
+    """The regex tag scanner must produce IDENTICAL blocks to the
+    html.parser implementation over a varied corpus (entities,
+    comments, CDATA-ish, self-closing, uppercase, raw script with <,
+    nesting, stray <)."""
+    corpus = [
+        S._HTML.replace("{i}", str(i)) for i in range(5)
+    ] + [
+        "<P>UPPER &amp; entity</P><BR/><p>two</p>",
+        "<!-- c --><p>a<!-- x -->b</p><!DOCTYPE html>",
+        "<script>if (a < b) { x('</div>'); }</script><p>after</p>",
+        "<style>p { color: red; }</style><p>styled</p>",
+        "<ul><li>one<a href='#'>l</a></li><li>two</li></ul>",
+        "<pre>  keep\n  ws  </pre>",
+        "<p>unclosed <b>bold",
+        "<p>stray < char</p>",
+        "<div><p>nested <span>span</span> text</p></div>",
+        "<a href='x'><p>link block</p></a>",
+        "<p></p><h1> </h1><p>real</p>",
+        "text outside any block",
+        "",
+    ]
+    for doc in corpus:
+        fast = K._fast_blocks(doc)
+        ref = K._BlockParser()
+        ref.feed(doc)
+        ref.close()
+        assert fast == ref.blocks, doc[:60]
+
+
 # ---------------------------------------------------------- E9/F7 csv
 def test_csv_crlf_and_stringify():
     # xlsx_to_csv/main.py:94-104: None->"", str(v), csv default dialect

@@ -119,6 +119,12 @@ def wrap_text_md(stem: str, text: str) -> str:
 # --------------------------------------------------------------------------
 _PDF_STREAM_RE = re.compile(r"stream\r?\n(.*?)endstream", re.DOTALL)
 _PDF_TJ_ARRAY_RE = re.compile(r"\[(.*?)\]\s*TJ", re.DOTALL)
+# one in-order pass over both text-showing ops: group(1) set => TJ
+# array, else a (..) Tj literal
+_PDF_TEXTOP_RE = re.compile(
+    r"\[(.*?)\]\s*TJ|\((?:[^()\\]|\\.)*\)\s*Tj", re.DOTALL
+)
+_PDFMINER = None  # one-shot import probe cache (None=unprobed, False=absent)
 
 
 def _pdf_unescape(s: str) -> str:
@@ -190,33 +196,27 @@ def extract_pdf_text(payload: str) -> str:
     scale with pdfminer installed, the pdfminer path is used and the
     fixtures are regenerated against it (SURVEY.md §7 hard-part (a)).
     """
-    try:  # real path when the library exists
-        from pdfminer.high_level import extract_text  # type: ignore
+    global _PDFMINER
+    if _PDFMINER is None:  # probe the real library exactly once
+        try:
+            from pdfminer.high_level import extract_text  # type: ignore
 
-        return extract_text(io.BytesIO(payload.encode("latin-1", "replace")))
-    except ImportError:
-        pass
+            _PDFMINER = extract_text
+        except ImportError:
+            _PDFMINER = False
+    if _PDFMINER:
+        return _PDFMINER(io.BytesIO(payload.encode("latin-1", "replace")))
     pages: List[str] = []
     for m in _PDF_STREAM_RE.finditer(payload):
         chunk = m.group(1)
         lines: List[str] = []
-        consumed_spans: List[Tuple[int, int]] = []
-        for tj in _PDF_TJ_ARRAY_RE.finditer(chunk):
-            parts = _pdf_paren_strings(tj.group(1))
+        for op in _PDF_TEXTOP_RE.finditer(chunk):
+            arr = op.group(1)
+            parts = _pdf_paren_strings(arr if arr is not None else op.group(0))
             if parts:
-                lines.append(("".join(parts), tj.start()))
-            consumed_spans.append((tj.start(), tj.end()))
-
-        # (..) Tj ops outside TJ arrays
-        for sm in re.finditer(r"\((?:[^()\\]|\\.)*\)\s*Tj", chunk):
-            if any(a <= sm.start() < b for a, b in consumed_spans):
-                continue
-            strs = _pdf_paren_strings(sm.group(0))
-            if strs:
-                lines.append((strs[0], sm.start()))
-        lines.sort(key=lambda t: t[1])
+                lines.append("".join(parts) if arr is not None else parts[0])
         if lines:
-            pages.append("\n".join(t[0] for t in lines))
+            pages.append("\n".join(lines))
     return "\n\n".join(pages)
 
 
@@ -498,6 +498,99 @@ class _BlockParser(HTMLParser):
 MAX_LINK_RATIO = 0.5
 MAX_TAG_DENSITY = 0.25
 
+_TAG_RE = re.compile(
+    r"<!--.*?-->|<!\[CDATA\[.*?\]\]>|<![^>]*>|<\?[^>]*>"
+    r"|</?([a-zA-Z][a-zA-Z0-9]*)[^>]*?>",
+    re.DOTALL,
+)
+_RAW_TEXT_TAGS = {"script", "style"}
+
+
+def _fast_blocks(payload: str) -> List[_Block]:
+    """Regex tag scanner semantically identical to _BlockParser but
+    ~5x faster (html.parser is regex-per-char).  Equivalence is
+    enforced by the differential test in tests/test_kernels.py."""
+    from html import unescape
+
+    blocks: List[_Block] = []
+    skip_depth = 0
+    link_depth = 0
+    stack: List[dict] = []
+    pos = 0
+    low = None  # lazily lowered copy for raw-text close search
+    n = len(payload)
+
+    def data(chunk: str) -> None:
+        nonlocal stack
+        if skip_depth or not stack or not chunk:
+            return
+        if "&" in chunk:
+            chunk = unescape(chunk)
+        stack[-1]["parts"].append(chunk)
+        if link_depth:
+            stack[-1]["link"] += len(chunk.strip())
+
+    def close_block(tag: str) -> None:
+        for i in range(len(stack) - 1, -1, -1):
+            if stack[i]["tag"] == tag:
+                frame = stack.pop(i)
+                raw = "".join(frame["parts"])
+                text = raw.strip() if tag == "pre" \
+                    else re.sub(r"\s+", " ", raw).strip()
+                blocks.append(
+                    _Block(tag, text, frame["link"], len(text), frame["tags"])
+                )
+                break
+
+    while pos < n:
+        m = _TAG_RE.search(payload, pos)
+        if not m:
+            data(payload[pos:])
+            break
+        if m.start() > pos:
+            data(payload[pos:m.start()])
+        pos = m.end()
+        tag = m.group(1)
+        if tag is None:  # comment/doctype/CDATA/PI
+            continue
+        tag = tag.lower()
+        raw_tok = m.group(0)
+        is_end = raw_tok.startswith("</")
+        is_selfclose = raw_tok.endswith("/>")
+
+        if not is_end:
+            # start tag (and the start half of <x/>)
+            if tag in _RAW_TEXT_TAGS:
+                # raw-text element: jump to its closing tag
+                if low is None:
+                    low = payload.lower()
+                close = low.find(f"</{tag}", pos)
+                pos = n if close < 0 else close
+                skip_depth += 1  # matching endtag decrements
+                if close < 0:
+                    skip_depth -= 1
+                continue
+            if tag in _HTML_SKIP_CONTAINERS:
+                skip_depth += 1
+            elif not skip_depth:
+                if tag == "a":
+                    link_depth += 1
+                if tag in _HTML_BLOCK_TAGS:
+                    stack.append({"tag": tag, "parts": [], "link": 0, "tags": 0})
+                elif stack:
+                    stack[-1]["tags"] += 1
+        if is_end or is_selfclose:
+            if tag in _HTML_SKIP_CONTAINERS:
+                skip_depth = max(0, skip_depth - 1)
+                continue
+            if skip_depth:
+                continue
+            if tag == "a":
+                link_depth = max(0, link_depth - 1)
+            if tag in _HTML_BLOCK_TAGS and stack:
+                close_block(tag)
+    return blocks
+
 
 def convert_html(stem: str, payload: str) -> str:
     """Main-content HTML -> Markdown with tag-density + link-text-ratio
@@ -506,13 +599,17 @@ def convert_html(stem: str, payload: str) -> str:
     ``# {stem}`` title prefix, ``{'#'*n} text`` headings, paragraphs as
     ``text\\n\\n``, list items as ``- text\\n`` (list closed by a blank
     line), ``pre`` as a ```text fenced block."""
-    parser = _BlockParser()
-    parser.feed(payload)
-    parser.close()
+    try:
+        blocks = _fast_blocks(payload)
+    except Exception:  # noqa: BLE001 — conservative fallback
+        parser = _BlockParser()
+        parser.feed(payload)
+        parser.close()
+        blocks = parser.blocks
 
     out = [f"# {stem}\n\n"]
     in_list = False
-    for b in parser.blocks:
+    for b in blocks:
         if not b.text:
             continue
         if b.link_ratio > MAX_LINK_RATIO or b.tag_density > MAX_TAG_DENSITY:
