@@ -142,26 +142,22 @@ def simhash(df: DataFrame, id_col: str, text_col: str,
 
     Bit j of a token's contribution = hex digit j of md5(token)
     (>= '8' means +1, else -1); the document bit is the sign of the
-    sum.  Entirely explode + conditional-sum aggregation (map-side
-    combinable), and md5-based so the oracle can replay it."""
+    sum.  All n_bits dimensions are computed as conditional-sum
+    aggregates in ONE groupBy — the shuffle carries one row of n_bits
+    partials per (doc x map-partition) instead of n_tokens x n_bits
+    exploded rows (a 16x shuffle-volume cut at any scale).  md5-based
+    so the DuckDB oracle replays it exactly."""
     toks = tokens(df, id_col, text_col).withColumn("h", F.md5("tok"))
-    dims = toks.select(
-        id_col,
-        F.explode(F.sequence(F.lit(1), F.lit(n_bits))).alias("bit"),
-        F.col("h"),
-    ).withColumn(
-        "w",
-        F.when(F.substring(F.col("h"), F.col("bit"), 1) >= "8", F.lit(1))
-        .otherwise(F.lit(-1)),
-    )
-    return (
-        dims.groupBy(id_col, "bit").agg(F.sum("w").alias("s"))
-        .withColumn("b", F.when(F.col("s") > 0, F.lit(1)).otherwise(F.lit(0)))
-        .groupBy(id_col)
-        .agg(
-            F.sum(
-                F.col("b")
-                * F.pow(F.lit(2.0), (F.lit(n_bits) - F.col("bit")).cast("double"))
-            ).cast("long").alias("simhash")
-        )
-    )
+    aggs = [
+        F.sum(
+            F.when(F.substring("h", b, 1) >= "8", F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"s{b}")
+        for b in range(1, n_bits + 1)
+    ]
+    per_doc = toks.groupBy(id_col).agg(*aggs)
+    sim = None
+    for b in range(1, n_bits + 1):
+        bit = F.when(F.col(f"s{b}") > 0, F.lit(1)).otherwise(F.lit(0))
+        term = bit * F.lit(2 ** (n_bits - b))
+        sim = term if sim is None else sim + term
+    return per_doc.select(id_col, sim.cast("long").alias("simhash"))
