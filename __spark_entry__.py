@@ -1047,6 +1047,16 @@ def _q_lsh_ann(spark, sf_dir):
     return SIM.lsh_topk(emb, queries, k=5, n_planes=4, dim=64)
 
 
+def _q_ivf_ann(spark, sf_dir):
+    # IVF scale path: full probe (n_probe == n_cells) makes the result
+    # EQUAL to the exact brute-force top-k, so the DuckDB cosine oracle
+    # checks it; reduced probes trade recall for candidates (tested in
+    # tests/test_similarity.py)
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3)
+    return SIM.ivf_topk(emb, queries, k=5, n_cells=8, n_probe=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "transcript_flagship": _transcript_flagship,
@@ -1085,6 +1095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_dispatch": _q_extract_dispatch,
         "extract_binary_dispatch": _q_extract_binary,
         "ann_lsh_topk": _q_lsh_ann,
+        "ann_ivf_topk": _q_ivf_ann,
         "media_features": _q_media_features,
     }
 
@@ -1120,6 +1131,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _SQL_LANGID,
         "corpus_curation": _SQL_CURATION,
         "ann_brute_topk": _SQL_ANN_BRUTE,
+        "ann_ivf_topk": _SQL_ANN_BRUTE,  # full probe == exact top-k
         "embedding_norms": _SQL_EMBEDDING_NORMS,
         "multimodal_meta": _SQL_MULTIMODAL,
         "xlsx_sheet_csv": _SQL_XLSX,
