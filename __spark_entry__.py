@@ -307,9 +307,12 @@ WITH marked AS (
               THEN 1 ELSE 0 END AS new_session
   FROM events
 ), sess AS (
+  -- CAST: DuckDB types integer sum() as HUGEINT (int128); the driver's
+  -- value hash is type-sensitive, Spark emits BIGINT
   SELECT user_id, ts,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                                ROWS UNBOUNDED PRECEDING) AS session_id
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS session_id
   FROM marked
 )
 SELECT user_id, session_id, count(*) AS events,
@@ -379,6 +382,7 @@ def _q_lineage_agg(spark, sf_dir):
             F.count_if(F.col("doc_id") % 13 == 0).alias("error_count"),
             F.sum("n_chars").alias("bytes_in"),
         )
+        .orderBy("bucket")
     )
 
 
@@ -386,8 +390,8 @@ _SQL_LINEAGE = """
 SELECT CAST(doc_id % 16 AS INTEGER) AS bucket,
        count(*) AS rows_in,
        count(*) FILTER (WHERE doc_id % 13 = 0) AS error_count,
-       sum(n_chars) AS bytes_in
-FROM documents GROUP BY 1
+       CAST(sum(n_chars) AS BIGINT) AS bytes_in
+FROM documents GROUP BY 1 ORDER BY bucket
 """
 
 
@@ -538,7 +542,8 @@ def _q_events_json(spark, sf_dir):
 
 _SQL_EVENTS_JSON = """
 SELECT event_type,
-       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS sum_k,
        count(*) AS cnt,
        round(sum(value), 2) AS sum_value
 FROM events GROUP BY event_type ORDER BY event_type
@@ -984,25 +989,69 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
-# non-SQL-expressible: full extraction kernel dispatch (rows-only check)
+# extraction kernel dispatch + media plumbing (oracle-checked: counts and
+# stub features are deterministic functions of the payload construction)
 # ---------------------------------------------------------------------------
 def _q_media_features(spark, sf_dir):
+    # ASCII magics (RIFF/ID3) keep the payload valid UTF-8 so the DuckDB
+    # oracle can replay the md5-derived stub dimensions byte-for-byte;
+    # the non-UTF8 magics (jpeg/png) are covered by tests/test_operators_misc
     from tool_documentsconverter_spark.operators.multimodal import (
         extract_media_features,
     )
 
     docs = _t(spark, sf_dir, "documents")
     magic = (
-        F.when(F.col("doc_id") % 3 == 0, F.lit(bytes(b"\xff\xd8\xff")))
-        .when(F.col("doc_id") % 3 == 1, F.lit(bytes(b"\x89PNG")))
-        .otherwise(F.lit(bytes(b"RIFF")))
+        F.when(F.col("doc_id") % 3 == 0, F.lit("RIFF"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("ID3"))
+        .otherwise(F.lit(""))
     )
     media = docs.select(
         F.col("doc_id").alias("media_id"),
-        F.concat(magic, F.encode(F.col("text"), "UTF-8")).alias("payload"),
+        F.encode(F.concat(magic, F.col("text")), "UTF-8").alias("payload"),
     )
-    return extract_media_features(media)
+    return extract_media_features(media).orderBy("media_id")
 
+
+# replay of operators/multimodal.py:_decode_stub: width = 16 + digest[0],
+# height = 16 + digest[1] (both digest bytes < 256, so the %640/%480 in
+# the stub are identity); digest bytes come from the md5 hex pairs
+_SQL_MEDIA_FEATURES = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CASE doc_id % 3 WHEN 0 THEN 'RIFF' WHEN 1 THEN 'ID3' ELSE '' END
+         || text AS payload,
+         CASE doc_id % 3 WHEN 0 THEN 'riff' WHEN 1 THEN 'mp3'
+              ELSE 'unknown' END AS kind
+  FROM documents
+), h AS (
+  SELECT media_id, kind, payload, md5(payload) AS hx
+  FROM m
+), b AS (
+  SELECT media_id, kind, payload, hx,
+         (CASE WHEN substr(hx,1,1) BETWEEN '0' AND '9'
+               THEN ascii(substr(hx,1,1)) - 48
+               ELSE ascii(substr(hx,1,1)) - 87 END) * 16
+         + (CASE WHEN substr(hx,2,1) BETWEEN '0' AND '9'
+                 THEN ascii(substr(hx,2,1)) - 48
+                 ELSE ascii(substr(hx,2,1)) - 87 END) AS byte0,
+         (CASE WHEN substr(hx,3,1) BETWEEN '0' AND '9'
+               THEN ascii(substr(hx,3,1)) - 48
+               ELSE ascii(substr(hx,3,1)) - 87 END) * 16
+         + (CASE WHEN substr(hx,4,1) BETWEEN '0' AND '9'
+                 THEN ascii(substr(hx,4,1)) - 48
+                 ELSE ascii(substr(hx,4,1)) - 87 END) AS byte1
+  FROM h
+)
+SELECT media_id, kind,
+       CAST(16 + byte0 AS INTEGER) AS width,
+       CAST(16 + byte1 % 480 AS INTEGER) AS height,
+       'STUB' AS mode,
+       CAST(octet_length(encode(payload)) AS BIGINT) AS payload_bytes,
+       hx AS payload_md5,
+       'ok' AS status
+FROM b ORDER BY media_id
+"""
 
 
 def _q_extract_dispatch(spark, sf_dir):
@@ -1041,10 +1090,68 @@ def _q_extract_binary(spark, sf_dir):
     )
 
 
+# every synthesized binary payload (PDF for doc_id%3=0, else plain text)
+# converts successfully — the expected status distribution is a
+# deterministic function of the construction above
+_SQL_EXTRACT_BINARY = """
+SELECT 'ok' AS status, count(*) AS cnt FROM documents ORDER BY status
+"""
+
+
 def _q_lsh_ann(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 3)
-    return SIM.lsh_topk(emb, queries, k=5, n_planes=4, dim=64)
+    return SIM.lsh_topk(emb, queries, k=5, n_planes=4, dim=64).orderBy(
+        "query_id", "rank"
+    )
+
+
+# replay of operators/similarity.py:hyperplane_sign — the hyperplanes are
+# md5-derived precisely so the oracle can recompute the signatures:
+# weight(p, d) = hexval(md5(p || ':' || d)[0]) - 7.5, bit = sign of the
+# (in-order) dot product, signature = 4 concatenated bits
+_SQL_ANN_LSH = """
+WITH pw AS (
+  SELECT p,
+         list(CASE WHEN substr(h, 1, 1) BETWEEN '0' AND '9'
+                   THEN ascii(substr(h, 1, 1)) - 48
+                   ELSE ascii(substr(h, 1, 1)) - 87 END - 7.5
+              ORDER BY d) AS ws
+  FROM (
+    SELECT p, d, md5(CAST(p AS VARCHAR) || ':' || CAST(d AS VARCHAR)) AS h
+    FROM range(4) t(p), range(64) u(d)
+  ) GROUP BY p
+), sig AS (
+  SELECT e.vec_id,
+         string_agg(
+           CASE WHEN list_sum(list_transform(range(1, 65),
+                  i -> e.embedding[i]::DOUBLE * pw.ws[i])) >= 0
+                THEN '1' ELSE '0' END, '' ORDER BY pw.p) AS sig
+  FROM embeddings e, pw
+  GROUP BY e.vec_id
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(
+           list_dot_product(qe.embedding::DOUBLE[], ce.embedding::DOUBLE[])
+           / (sqrt(list_dot_product(qe.embedding::DOUBLE[],
+                                    qe.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(ce.embedding::DOUBLE[],
+                                      ce.embedding::DOUBLE[]))), 6) AS score
+  FROM sig q
+  JOIN sig c ON q.sig = c.sig
+  JOIN embeddings qe ON qe.vec_id = q.vec_id
+  JOIN embeddings ce ON ce.vec_id = c.vec_id
+  WHERE q.vec_id < 3 AND c.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, neighbor_id ASC)
+            AS INTEGER) AS rank,
+       score
+FROM scored
+QUALIFY rank <= 5
+ORDER BY query_id, rank
+"""
 
 
 def _q_ivf_ann(spark, sf_dir):
@@ -1132,7 +1239,10 @@ def oracle_sql() -> dict[str, str]:
         "corpus_curation": _SQL_CURATION,
         "ann_brute_topk": _SQL_ANN_BRUTE,
         "ann_ivf_topk": _SQL_ANN_BRUTE,  # full probe == exact top-k
+        "ann_lsh_topk": _SQL_ANN_LSH,
         "embedding_norms": _SQL_EMBEDDING_NORMS,
         "multimodal_meta": _SQL_MULTIMODAL,
+        "media_features": _SQL_MEDIA_FEATURES,
+        "extract_binary_dispatch": _SQL_EXTRACT_BINARY,
         "xlsx_sheet_csv": _SQL_XLSX,
     }
