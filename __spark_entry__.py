@@ -119,13 +119,20 @@ FROM s
 def _q_sniff(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     payload = (
-        F.when(F.col("doc_id") % 5 == 0, F.col("text"))
-        .when(F.col("doc_id") % 5 == 1, F.concat(F.lit("%PDF-1.4\n"), F.col("text")))
-        .when(F.col("doc_id") % 5 == 2,
+        F.when(F.col("doc_id") % 7 == 0, F.col("text"))
+        .when(F.col("doc_id") % 7 == 1, F.concat(F.lit("%PDF-1.4\n"), F.col("text")))
+        .when(F.col("doc_id") % 7 == 2,
               F.concat(F.lit('<?xml version="1.0"?><w:document><w:body>'),
                        F.col("text")))
-        .when(F.col("doc_id") % 5 == 3,
+        .when(F.col("doc_id") % 7 == 3,
               F.concat(F.lit("<!DOCTYPE html><html>"), F.col("text")))
+        .when(F.col("doc_id") % 7 == 4,
+              F.concat(F.lit("\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"),
+                       F.col("text")))
+        .when(F.col("doc_id") % 7 == 5,
+              # leading whitespace before the html magic: the ltrim-vs-
+              # lstrip trap (kernel strips all ws; SQL twin must too)
+              F.concat(F.lit("\n\t <!DOCTYPE html><html>"), F.col("text")))
         .otherwise(F.concat(F.lit("<html><body>"), F.col("text")))
     )
     return docs.select(
@@ -135,11 +142,13 @@ def _q_sniff(spark, sf_dir):
 
 _SQL_SNIFF = """
 SELECT doc_id,
-       CASE doc_id % 5
+       CASE doc_id % 7
          WHEN 0 THEN 'text'
          WHEN 1 THEN 'pdf'
          WHEN 2 THEN 'docx'
          WHEN 3 THEN 'html'
+         WHEN 4 THEN 'doc'
+         WHEN 5 THEN 'html'
          ELSE 'html'
        END AS fmt
 FROM documents
@@ -1067,20 +1076,44 @@ def _q_extract_dispatch(spark, sf_dir):
     )
 
 
+# replays the deterministic payload construction of
+# sources/transcripts.py:payload_for (fixtures mix, i % 10 cycle with
+# the i % 20 == 19 legacy-.doc case); status: only the declared-doc
+# garbage rows (P9) fail
+_SQL_EXTRACT_DISPATCH = """
+WITH t AS (SELECT range AS i FROM range(500)),
+c AS (
+  SELECT CASE
+           WHEN i % 10 IN (2, 3, 4, 5) THEN 'docx'
+           WHEN i % 10 = 6 THEN 'pdf'
+           WHEN i % 10 = 7 THEN 'html'
+           WHEN i % 10 = 8 THEN 'doc'
+           WHEN i % 20 = 19 THEN 'doc'
+           ELSE 'text' END AS fmt,
+         CASE WHEN i % 10 = 8 THEN 'failed' ELSE 'ok' END AS status
+  FROM t
+)
+SELECT fmt, status, count(*) AS cnt
+FROM c GROUP BY fmt, status ORDER BY fmt, status
+"""
+
+
 def _q_extract_binary(spark, sf_dir):
     # binary-document path: bytes payloads with magic-byte dispatch
+    from tool_documentsconverter_spark.ole import make_min_doc_bytes
     from tool_documentsconverter_spark.operators.extract_binary import (
         extract_documents,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    payload = F.encode(
+    doc_payload = make_min_doc_bytes("Binary legacy doc.\rBody line.")
+    payload = (
         F.when(F.col("doc_id") % 3 == 0,
-               F.concat(F.lit("%PDF-1.4\n1 0 obj\nstream\nBT ("),
-                        F.substring("text", 1, 40),
-                        F.lit(") Tj ET\nendstream\n")))
-        .otherwise(F.col("text")),
-        "UTF-8",
+               F.encode(F.concat(F.lit("%PDF-1.4\n1 0 obj\nstream\nBT ("),
+                                 F.substring("text", 1, 40),
+                                 F.lit(") Tj ET\nendstream\n")), "UTF-8"))
+        .when(F.col("doc_id") % 3 == 1, F.lit(doc_payload))
+        .otherwise(F.encode(F.col("text"), "UTF-8"))
     )
     media = docs.select(F.col("doc_id"), payload.alias("payload"))
     out = extract_documents(media)
@@ -1090,9 +1123,9 @@ def _q_extract_binary(spark, sf_dir):
     )
 
 
-# every synthesized binary payload (PDF for doc_id%3=0, else plain text)
-# converts successfully — the expected status distribution is a
-# deterministic function of the construction above
+# every synthesized binary payload (PDF for doc_id%3=0, legacy OLE2 .doc
+# for doc_id%3=1, else plain text) converts successfully — the expected
+# status distribution is a deterministic function of the construction
 _SQL_EXTRACT_BINARY = """
 SELECT 'ok' AS status, count(*) AS cnt FROM documents ORDER BY status
 """
@@ -1198,7 +1231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norms": _q_embedding_norms,
         "multimodal_meta": _q_multimodal_meta,
         "xlsx_sheet_csv": _q_xlsx_sheet_csv,
-        # rows-only (non-SQL-expressible) checks:
+        # kernel-dispatch + ANN queries (construction-derived oracles):
         "extract_dispatch": _q_extract_dispatch,
         "extract_binary_dispatch": _q_extract_binary,
         "ann_lsh_topk": _q_lsh_ann,
@@ -1243,6 +1276,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_norms": _SQL_EMBEDDING_NORMS,
         "multimodal_meta": _SQL_MULTIMODAL,
         "media_features": _SQL_MEDIA_FEATURES,
+        "extract_dispatch": _SQL_EXTRACT_DISPATCH,
         "extract_binary_dispatch": _SQL_EXTRACT_BINARY,
         "xlsx_sheet_csv": _SQL_XLSX,
     }

@@ -61,7 +61,7 @@ def test_extract_matches_oracle_per_turn(spark, transcripts, extracted):
 
 def test_all_payload_cases_present(extracted):
     fmts = {r.fmt for r in extracted.select("fmt").distinct().collect()}
-    assert {"text", "pdf", "docx", "html", "unknown"} <= fmts
+    assert {"text", "pdf", "docx", "html", "doc"} <= fmts
 
 
 def test_failed_rows_isolated_not_fatal(extracted):
@@ -104,6 +104,14 @@ _SNIFF_CASES = [
     ("<?xml?><note>hi</note>", ""),
     ("plain", "doc"),
     ("plain", "html"),
+    # leading non-space whitespace: F.ltrim strips only spaces, the
+    # kernel's lstrip() strips all of it — these two diverged once
+    ("\n<!DOCTYPE html><html>x</html>", ""),
+    ('\t<?xml?><w:document xmlns:w="x"><w:t>hi</w:t></w:document>', ""),
+    ("\r\n  <html><body>y</body></html>", ""),
+    # legacy OLE2 magic (latin-1 text form)
+    ("\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1garbage", ""),
+    ("\xd0\xcf\x11not-quite-magic", ""),
 ]
 
 

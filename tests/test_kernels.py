@@ -60,7 +60,9 @@ def test_turn_stem():
         ("plain words", "", K.FMT_TEXT),
         ("plain words", "text", K.FMT_TEXT),
         ("plain words", "html", K.FMT_HTML),  # hint wins when no magic
-        ("\x00junk", "doc", K.FMT_UNKNOWN),  # unknown hint, no magic
+        ("\x00junk", "doc", K.FMT_DOC),   # declared legacy .doc (E7)
+        ("\x00junk", "rtf", K.FMT_UNKNOWN),  # unknown hint, no magic
+        ("\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1x", "", K.FMT_DOC),  # OLE2 magic
         (None, "", K.FMT_UNKNOWN),
     ],
 )
@@ -259,10 +261,16 @@ def test_extract_turn_ok_paths():
 
 
 def test_extract_turn_unsupported_fails_isolated():
+    # declared .doc whose bytes aren't OLE2: parse error, isolated
     md, status, msg = K.extract_turn("c", 3, "\x00garbage", fmt_hint="doc")
     assert status == K.FAILED
-    assert "doc" in msg
+    assert "OLE2" in msg
     assert md.startswith("# c_00003\n\n")  # error-artifact md still emitted
+    # genuinely unknown declared format: unsupported-type error (P9)
+    md, status, msg = K.extract_turn("c", 3, "\x00garbage", fmt_hint="rtf")
+    assert status == K.FAILED
+    assert "rtf" in msg
+    assert md.startswith("# c_00003\n\n")
 
 
 def test_extract_turn_blank_text_fails_verify():

@@ -13,12 +13,24 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from ..kernels import FMT_DOCX, FMT_HTML, FMT_PDF, FMT_TEXT, FMT_UNKNOWN, KNOWN_FMTS
+from ..kernels import (
+    FMT_DOC,
+    FMT_DOCX,
+    FMT_HTML,
+    FMT_PDF,
+    FMT_TEXT,
+    FMT_UNKNOWN,
+    KNOWN_FMTS,
+    OLE_MAGIC_STR,
+)
 
 
 def sniff_format(text: Column, fmt_hint: Column | None = None) -> Column:
     head = F.substring(text, 1, 512)
-    stripped = F.ltrim(head)
+    # regexp strip, NOT F.ltrim: ltrim removes only spaces, while the
+    # kernel twin uses str.lstrip() (all whitespace) — \n/\t-led
+    # payloads must classify identically on both paths
+    stripped = F.regexp_replace(head, r"^\s+", "")
     low = F.lower(F.substring(stripped, 1, 64))
     hint = fmt_hint if fmt_hint is not None else F.lit("")
     hint = F.coalesce(hint, F.lit(""))
@@ -27,6 +39,7 @@ def sniff_format(text: Column, fmt_hint: Column | None = None) -> Column:
     return (
         F.when(text.isNull(), F.lit(FMT_UNKNOWN))
         .when(head.startswith("%PDF-"), F.lit(FMT_PDF))
+        .when(head.startswith(OLE_MAGIC_STR), F.lit(FMT_DOC))
         .when(is_xmlish & head.contains("<w:"), F.lit(FMT_DOCX))
         .when(is_xmlish & low.contains("<html"), F.lit(FMT_HTML))
         .when(is_xmlish, F.lit(FMT_UNKNOWN))

@@ -67,26 +67,34 @@ def turn_stem(conv_id: str, turn_idx: int) -> str:
 FMT_TEXT = "text"
 FMT_PDF = "pdf"
 FMT_DOCX = "docx"
+FMT_DOC = "doc"
 FMT_HTML = "html"
 FMT_UNKNOWN = "unknown"
 
-KNOWN_FMTS = (FMT_TEXT, FMT_PDF, FMT_DOCX, FMT_HTML)
+KNOWN_FMTS = (FMT_TEXT, FMT_PDF, FMT_DOCX, FMT_DOC, FMT_HTML)
+
+# OLE2 compound-file magic as latin-1 text (binary .doc payloads ride
+# the string column latin-1-decoded; latin-1 is bijective over 0-255)
+OLE_MAGIC_STR = "\xd0\xcf\x11\xe0"
 
 
 def sniff_format(payload: str, fmt_hint: str = "") -> str:
     """Magic-prefix format detection over a text payload.
 
-    ``%PDF-`` -> pdf; OOXML (``<?xml``/``<w:document``) -> docx;
-    ``<html``/``<!doctype`` (case-insensitive, leading ws ignored)
-    -> html; otherwise the metadata hint column wins if it names a
-    known format (suffix-dispatch fallback, doc_to_md/main.py:184-192);
-    else plain text.
+    ``%PDF-`` -> pdf; OLE2 magic -> legacy doc; OOXML
+    (``<?xml``/``<w:document``) -> docx; ``<html``/``<!doctype``
+    (case-insensitive, leading ws ignored) -> html; otherwise the
+    metadata hint column wins if it names a known format
+    (suffix-dispatch fallback, doc_to_md/main.py:184-192); else plain
+    text.
     """
     if payload is None:
         return FMT_UNKNOWN
     head = payload[:512]
     if head.startswith("%PDF-"):
         return FMT_PDF
+    if head.startswith(OLE_MAGIC_STR):
+        return FMT_DOC
     stripped = head.lstrip()
     low = stripped[:64].lower()
     if stripped.startswith("<?xml") or stripped.startswith("<w:document"):
@@ -223,6 +231,20 @@ def extract_pdf_text(payload: str) -> str:
 def convert_pdf(stem: str, payload: str) -> str:
     """E1+E8: extract text, wrap (doc_to_md/pdf_converter.py:25-35)."""
     return wrap_text_md(stem, extract_pdf_text(payload))
+
+
+# --------------------------------------------------------------------------
+# E7 — legacy binary .doc (Word 97-2003)
+# --------------------------------------------------------------------------
+def convert_doc(stem: str, payload: bytes) -> str:
+    """E7+E8: legacy ``.doc`` text -> fenced wrap.  The reference pipes
+    ``.doc`` through antiword and wraps the text in the same template
+    (docx_converter.py:107-142: ``# {stem}`` + ```text fence``;
+    main.py:165-171 the antiword/catdoc command chain).  Extraction
+    here is the pure-stdlib [MS-CFB]/[MS-DOC] reader in ole.py."""
+    from .ole import extract_doc_text
+
+    return wrap_text_md(stem, extract_doc_text(payload))
 
 
 # --------------------------------------------------------------------------
@@ -389,6 +411,8 @@ def extract_document_bytes(doc_id: str, payload: Optional[bytes],
             raise ValueError("不支持的文件类型: empty payload")
         if payload[:5] == b"%PDF-":
             md = convert_pdf(stem, payload.decode("latin-1"))
+        elif payload[:4] == b"\xd0\xcf\x11\xe0":
+            md = convert_doc(stem, payload)
         elif payload[:4] == b"PK\x03\x04":
             md = convert_docx_bytes(stem, payload)
         else:
@@ -400,6 +424,10 @@ def extract_document_bytes(doc_id: str, payload: Optional[bytes],
                 md = convert_html(stem, text)
             elif fmt == FMT_DOCX:
                 md = convert_docx_xml(stem, text)
+            elif fmt == FMT_DOC:
+                # declared .doc whose bytes failed the OLE2 magic
+                # check above: parse (and fail) rather than text-wrap
+                md = convert_doc(stem, payload)
             else:
                 md = wrap_text_md(stem, text)
         if not verify_markdown(md):
@@ -838,6 +866,8 @@ def extract_turn(conv_id: str, turn_idx: int, text: Optional[str],
             md = convert_pdf(stem, text or "")
         elif fmt == FMT_DOCX:
             md = convert_docx_xml(stem, text or "")
+        elif fmt == FMT_DOC:
+            md = convert_doc(stem, (text or "").encode("latin-1", "replace"))
         elif fmt == FMT_HTML:
             md = convert_html(stem, text or "")
         else:

@@ -84,13 +84,30 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
-                      n_bands: int = 8, k: int = 3) -> DataFrame:
+                      n_bands: int = 8, k: int = 3,
+                      max_bucket: int = 1000) -> DataFrame:
     """Candidate near-duplicate pairs: documents sharing ANY band
     minhash (classic banding LSH with 1 row per band).  Output
-    (id_a < id_b, shared_bands)."""
+    (id_a < id_b, shared_bands).
+
+    Mega-cluster guard: a bucket with m members emits m^2 pairs, so a
+    single 10M-copy boilerplate document would turn the self-join
+    quadratic at corpus scale.  Buckets above `max_bucket` members are
+    excluded from pair generation (one extra groupBy over the tiny
+    (band, minhash) signature table, map-side combinable) — those
+    clusters are exact-or-near-exact duplicates by construction and are
+    handled by exact_dedup_keys; the guard keeps worst-case output at
+    n_buckets * max_bucket^2 instead of m^2."""
     sig = minhash_signatures(df, id_col, text_col, n_bands, k)
-    a = sig.select(F.col(id_col).alias("id_a"), "band", "minhash")
-    b = sig.select(F.col(id_col).alias("id_b"), "band", "minhash")
+    bucket_sizes = (
+        sig.groupBy("band", "minhash")
+        .agg(F.count(F.lit(1)).alias("bucket_n"))
+        .where(F.col("bucket_n") <= max_bucket)
+        .select("band", "minhash")
+    )
+    bounded = sig.join(bucket_sizes, on=["band", "minhash"])
+    a = bounded.select(F.col(id_col).alias("id_a"), "band", "minhash")
+    b = bounded.select(F.col(id_col).alias("id_b"), "band", "minhash")
     return (
         a.join(b, on=["band", "minhash"])
         .where(F.col("id_a") < F.col("id_b"))

@@ -101,19 +101,31 @@ def lsh_signature(vec, n_planes: int, dim: int):
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              n_cells: int = 16, n_probe: int = 4, dim: int = 64,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             seed: int = 42) -> DataFrame:
+             seed: int = 42, train_cap: int = 100_000) -> DataFrame:
     """IVF (inverted-file) ANN: KMeans partitions the corpus into
     n_cells Voronoi cells; each query scores only the n_probe nearest
     cells.  The scale path when LSH recall is insufficient: expected
     candidates = n * n_probe / n_cells, and the cell assignment is an
     equi-join key exactly like the LSH signature.  Deterministic via
-    fixed seed; centroids train on the corpus (sample it at 100 TB).
-    Returns (query_id, neighbor_id, rank, score) like the exact path,
-    so recall against brute_force_topk is directly measurable."""
+    fixed seed; KMeans trains on a seeded sample capped at `train_cap`
+    rows (centroid quality needs only a sketch of the distribution —
+    fitting the full corpus at 100 TB would ship every vector through
+    the ML pipeline for no recall gain).  Returns (query_id,
+    neighbor_id, rank, score) like the exact path, so recall against
+    brute_force_topk is directly measurable; with n_probe == n_cells
+    every cell is probed and the result equals the exact top-k
+    regardless of centroid placement."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
-    train = corpus.select(
+    n = corpus.count()
+    sampled = corpus
+    if n > train_cap:
+        sampled = corpus.sample(
+            withReplacement=False, fraction=min(1.0, 1.1 * train_cap / n),
+            seed=seed,
+        ).limit(train_cap)
+    train = sampled.select(
         array_to_vector(
             F.transform(vec_col, lambda x: x.cast("double"))
         ).alias("features")
@@ -196,15 +208,31 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
 
 def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              n_planes: int = 4, dim: int = 64,
-             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             max_bucket: int | None = None) -> DataFrame:
     """ANN: score only same-signature candidates.  Equi-join on the
     b-bit bucket replaces the cross join; expected candidate set is
-    n / 2^b per query."""
+    n / 2^b per query.
+
+    `max_bucket` (optional) is the mega-cluster guard: when a signature
+    bucket holds more than max_bucket corpus vectors (a degenerate
+    near-duplicate cluster), only the max_bucket lowest-id members stay
+    candidates — deterministic, and recall on such clusters is
+    unaffected in practice because its members are near-identical.
+    Left off by default so the md5-replayable oracle sees the full
+    join; turn it on for skewed production corpora."""
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
         lsh_signature(F.col(vec_col), n_planes, dim).alias("sig"),
     )
+    if max_bucket is not None:
+        wb = Window.partitionBy("sig").orderBy(F.asc("neighbor_id"))
+        c = (
+            c.withColumn("_bn", F.row_number().over(wb))
+            .where(F.col("_bn") <= max_bucket)
+            .drop("_bn")
+        )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),

@@ -181,6 +181,15 @@ def run_extract_job(
         .sortWithinPartitions("conv_id", "turn_idx")
         .drop("salt")
     )
+    # single pass: write + observe counters on BOTH sides of the
+    # extraction stage (A1 status aggregation via observe, no second
+    # scan; doc_to_md/main.py:580-592 analog).  The input-side
+    # observation makes rows_in a real measurement, so a row silently
+    # dropped inside the extraction stage is detected, not papered over.
+    from pyspark.sql import Observation
+
+    obs_in = Observation("extract_input")
+    staged = staged.observe(obs_in, F.count(F.lit(1)).alias("rows_in"))
     # drop the raw payload from the OUTPUT: md already embeds the
     # extracted content, and carrying text through the write doubles
     # the output volume (the reference likewise writes only the .md
@@ -188,11 +197,6 @@ def run_extract_job(
     extracted = extract(staged, hint_col="fmt_hint").drop(
         "text", *(c for c in ("fmt_hint",) if c in staged.columns)
     )
-
-    # single pass: write + observe counters (A1 status aggregation via
-    # observe, no second scan; doc_to_md/main.py:580-592 analog)
-    from pyspark.sql import Observation
-
     obs = Observation("extract_metrics")
     observed = extracted.observe(
         obs,
@@ -200,6 +204,11 @@ def run_extract_job(
         F.count_if(F.col("status") == "ok").alias("ok"),
         F.count_if(F.col("status") == "failed").alias("failed"),
     )
+    # resume safety: with Spark's default STATIC overwrite mode,
+    # partitionBy + overwrite would delete EVERY committed bucket, not
+    # just the ones being (re)written — set dynamic here rather than
+    # trusting the caller's session config
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     t = time.perf_counter()
     (
         observed.write.mode("overwrite")
@@ -207,11 +216,23 @@ def run_extract_job(
         .parquet(output_path)
     )
     m = obs.get
+    rows_in_total = int(obs_in.get["rows_in"])
     phases["extract_write"] = round(time.perf_counter() - t, 2)
+    if rows_in_total != int(m["rows_out"]):
+        raise RuntimeError(
+            f"extraction dropped rows: {rows_in_total} in vs "
+            f"{int(m['rows_out'])} out — lineage would be wrong"
+        )
 
-    # lineage commit AFTER the write: read back committed buckets only
+    # lineage commit AFTER the write: read back committed buckets only.
+    # Column pruning keeps this second scan tiny — bucket is a partition
+    # directory (zero data bytes) and status a dictionary-encoded
+    # column, so the re-read touches ~1% of the written bytes.  The
+    # extraction stage is row-preserving 1:1 (verified by the global
+    # in/out check above) and bucket is computed BEFORE the stage, so
+    # per-bucket rows_in == rows_out holds once the totals match.
     t = time.perf_counter()
-    out = spark.read.parquet(output_path)
+    out = spark.read.parquet(output_path).select("bucket", "status")
     if done:
         out = out.where(~F.col("bucket").isin(done))
     if only_buckets is not None:
@@ -232,7 +253,7 @@ def run_extract_job(
     phases["lineage_commit"] = round(time.perf_counter() - t, 2)
 
     return JobSummary(
-        rows_in=int(m["rows_out"]),
+        rows_in=rows_in_total,
         rows_out=int(m["rows_out"]),
         ok=int(m["ok"]),
         failed=int(m["failed"]),

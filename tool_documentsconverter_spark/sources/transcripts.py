@@ -24,6 +24,8 @@ from typing import Iterator, Tuple
 
 import pyarrow as pa
 
+from ..ole import make_min_doc_bytes
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -130,7 +132,10 @@ def payload_for(i: int, mix: str = "fixtures") -> Tuple[str, str]:
         if c < 93:
             return (_DOCX_HEADINGS.replace("{i}", str(i)), "")
         if c < 94:
-            return (_DOCX_RAW.replace("{i}", str(i)), "")
+            return (
+                make_min_doc_bytes(f"Legacy memo {i}.\rBody.").decode("latin-1"),
+                "",
+            )
         if c < 96:
             return (make_pdf(i), "")
         if c < 98:
@@ -159,8 +164,15 @@ def payload_for(i: int, mix: str = "fixtures") -> Tuple[str, str]:
         return (make_pdf(i), "")
     if case == 7:  # P8 html with boilerplate
         return (_HTML.replace("{i}", str(i)), "")
-    if case == 8:  # P9 unsupported format -> failed row
+    if case == 8:  # P9 declared .doc that isn't OLE2 -> failed row
         return (f"\x00\x01BINARYGARBAGE{i}", "doc")
+    if i % 20 == 19:  # P11 real legacy .doc (OLE2 bytes as latin-1 str)
+        return (
+            make_min_doc_bytes(
+                f"Legacy Word body {i}.\rSecond paragraph."
+            ).decode("latin-1"),
+            "",
+        )
     # P10: plain text again, exercised with hint column agreement
     return (f"hinted text payload {i}", "text")
 
