@@ -142,6 +142,8 @@ def run_extract_job(
     salt: int = DEFAULT_SALT,
     input_snapshot: str = "",
     only_buckets: Optional[Sequence[int]] = None,
+    include_fmts: Optional[Sequence[str]] = None,
+    exclude_convs: Optional[Sequence[str]] = None,
 ) -> JobSummary:
     """The full north-rule job: resume anti-join -> salted repartition
     -> stable sort -> Arrow extraction -> partitioned write ->
@@ -149,13 +151,26 @@ def run_extract_job(
 
     `only_buckets` restricts processing (used by tests to simulate a
     killed run that committed only a prefix of the work).
+    `include_fmts` is the F3 type-include predicate (config
+    `file_types`, doc_to_md/main.py:198-206): rows of other formats
+    never enter the extraction stage.  `exclude_convs` is the F1
+    exclude-dir analog over conv_id (config
+    `filters.exclude_sources`).  Both are Column predicates evaluated
+    before bucketing, so filtered rows cost a scan and nothing more.
     """
     t0 = time.perf_counter()
-    df = with_bucket(
-        transcripts.select("conv_id", "turn_idx", "role", "text", "tool", "ts",
-                           *(c for c in ("fmt_hint",) if c in transcripts.columns)),
-        n_buckets,
+    df = transcripts.select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts",
+        *(c for c in ("fmt_hint",) if c in transcripts.columns),
     )
+    if exclude_convs:
+        df = df.where(~F.col("conv_id").isin(list(exclude_convs)))
+    if include_fmts is not None:
+        hint = "fmt_hint" if "fmt_hint" in df.columns else None
+        df = with_sniffed_format(df, hint).where(
+            F.col("fmt").isin(list(include_fmts))
+        )
+    df = with_bucket(df, n_buckets)
 
     done = [] if force else committed_buckets(spark, lineage_path)
     skipped = len(done)
