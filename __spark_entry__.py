@@ -1131,6 +1131,54 @@ SELECT 'ok' AS status, count(*) AS cnt FROM documents ORDER BY status
 """
 
 
+def _q_md_pdf_roundtrip(spark, sf_dir):
+    """S8 sink consistency: wrap every document to Markdown, render the
+    minimal deterministic PDF, re-extract the text with the repo's own
+    PDF reader, and verify byte equality against the latin-1-degraded
+    source (the operator's documented contract).  The oracle predicts
+    roundtrip_ok and the page count from the text alone."""
+    import pyarrow as pa
+
+    from tool_documentsconverter_spark import kernels as K
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def check(batches):
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            oks, pages = [], []
+            for text in texts:
+                md = K.wrap_text_md("d", text or "")
+                pdf = K.markdown_to_pdf_bytes(md)
+                back = K.extract_pdf_text(pdf.decode("latin-1"))
+                degraded = md.encode("latin-1", "replace").decode("latin-1")
+                oks.append(back == degraded)
+                pages.append(md.count("\n") // K._PDF_PAGE_LINES + 1)
+            yield pa.RecordBatch.from_pydict({
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "roundtrip_ok": pa.array(oks, type=pa.bool_()),
+                "n_pages": pa.array(pages, type=pa.int32()),
+            })
+
+    return docs.mapInArrow(
+        check, "doc_id long, roundtrip_ok boolean, n_pages int"
+    ).orderBy("doc_id")
+
+
+# wrap_text_md adds exactly 5 newlines around the text; the PDF paginates
+# at 46 lines (kernels._PDF_PAGE_LINES); extraction is byte-exact on
+# latin-1-degraded input by construction (tests/test_md_pdf.py)
+_SQL_MD_PDF = """
+SELECT doc_id,
+       true AS roundtrip_ok,
+       CAST((5 + length(coalesce(text, ''))
+             - length(replace(coalesce(text, ''), chr(10), ''))) // 46
+            + 1 AS INTEGER) AS n_pages
+FROM documents ORDER BY doc_id
+"""
+
+
 def _q_lsh_ann(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 3)
@@ -1237,6 +1285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_lsh_ann,
         "ann_ivf_topk": _q_ivf_ann,
         "media_features": _q_media_features,
+        "md_pdf_roundtrip": _q_md_pdf_roundtrip,
     }
 
 
@@ -1278,5 +1327,6 @@ def oracle_sql() -> dict[str, str]:
         "media_features": _SQL_MEDIA_FEATURES,
         "extract_dispatch": _SQL_EXTRACT_DISPATCH,
         "extract_binary_dispatch": _SQL_EXTRACT_BINARY,
+        "md_pdf_roundtrip": _SQL_MD_PDF,
         "xlsx_sheet_csv": _SQL_XLSX,
     }

