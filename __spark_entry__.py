@@ -672,6 +672,70 @@ JOIN sizes zb ON zb.doc_id = p.id_b
 """
 
 
+def _q_embedding_cosine_dups(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return D.embedding_cosine_dups(
+        docs, "doc_id", "text", dim=16, n_planes=4, threshold=0.95
+    ).orderBy("id_a", "id_b")
+
+
+# full replay of operators/dedup.py hashed_embedding + the md5
+# hyperplane signature (similarity.py) + cosine gate — every stage is
+# md5-derived precisely so this SQL can reproduce it
+_SQL_EMB_COSINE = r"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(trim(coalesce(text, ''))),
+                                     '\s+')) AS tok
+    FROM documents WHERE doc_id < 200
+  ) WHERE tok <> ''
+), dims AS (
+  SELECT doc_id,
+         (CASE WHEN substr(md5(tok), 1, 1) BETWEEN '0' AND '9'
+               THEN ascii(substr(md5(tok), 1, 1)) - 48
+               ELSE ascii(substr(md5(tok), 1, 1)) - 87 END) % 16 AS d,
+         count(*) AS c
+  FROM toks GROUP BY 1, 2
+), ids AS (SELECT DISTINCT doc_id FROM toks),
+dense AS (
+  SELECT i.doc_id, r.range AS d, CAST(coalesce(m.c, 0) AS DOUBLE) AS c
+  FROM ids i CROSS JOIN range(16) r
+  LEFT JOIN dims m ON m.doc_id = i.doc_id AND m.d = r.range
+), vecs AS (
+  SELECT doc_id, list(c ORDER BY d) AS vec FROM dense GROUP BY doc_id
+), pw AS (
+  SELECT p,
+         list(CASE WHEN substr(h, 1, 1) BETWEEN '0' AND '9'
+                   THEN ascii(substr(h, 1, 1)) - 48
+                   ELSE ascii(substr(h, 1, 1)) - 87 END - 7.5
+              ORDER BY d) AS ws
+  FROM (
+    SELECT p, d, md5(CAST(p AS VARCHAR) || ':' || CAST(d AS VARCHAR)) AS h
+    FROM range(4) t(p), range(16) u(d)
+  ) GROUP BY p
+), sig AS (
+  SELECT v.doc_id, v.vec,
+         string_agg(
+           CASE WHEN list_sum(list_transform(range(1, 17),
+                  i -> v.vec[i] * pw.ws[i])) >= 0
+                THEN '1' ELSE '0' END, '' ORDER BY pw.p) AS sig
+  FROM vecs v, pw
+  GROUP BY v.doc_id, v.vec
+), scored AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         round(list_dot_product(a.vec, b.vec)
+               / (sqrt(list_dot_product(a.vec, a.vec))
+                  * sqrt(list_dot_product(b.vec, b.vec))), 6) AS cosine
+  FROM sig a JOIN sig b ON a.sig = b.sig
+  WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, cosine FROM scored
+WHERE cosine >= 0.95
+ORDER BY id_a, id_b
+"""
+
+
 def _q_simhash(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
     return D.simhash(docs, "doc_id", "text", n_bits=16)
@@ -1272,6 +1336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": _q_minhash_pairs,
         "ngram_jaccard": _q_ngram_jaccard,
         "simhash": _q_simhash,
+        "embedding_cosine_dups": _q_embedding_cosine_dups,
         "textstats": _q_textstats,
         "lang_id": _q_langid,
         "corpus_curation": _q_corpus_curation,
@@ -1316,6 +1381,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": _SQL_MINHASH_PAIRS,
         "ngram_jaccard": _SQL_NGRAM_JACCARD,
         "simhash": _SQL_SIMHASH,
+        "embedding_cosine_dups": _SQL_EMB_COSINE,
         "textstats": _SQL_TEXTSTATS,
         "lang_id": _SQL_LANGID,
         "corpus_curation": _SQL_CURATION,

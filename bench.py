@@ -79,7 +79,8 @@ def main() -> None:
     for name in [
         "transcript_flagship", "text_wrap_md", "tpch_q1", "revenue_topk",
         "broadcast_dim_join", "events_json", "dedup_exact",
-        "minhash_lsh_pairs", "simhash", "textstats", "lang_id",
+        "minhash_lsh_pairs", "simhash", "embedding_cosine_dups",
+        "textstats", "lang_id",
         "ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk",
         "corpus_curation", "xlsx_sheet_csv",
     ]:

@@ -73,3 +73,28 @@ def test_lsh_topk_bucket_cap_deterministic(spark):
             for r in lsh_topk(df, queries, k=5, n_planes=2, dim=16).collect()}
     for r in got:
         assert full.get(r.neighbor_id) is not None
+
+
+def test_embedding_cosine_dups_semantics(spark):
+    from tool_documentsconverter_spark.operators.dedup import (
+        embedding_cosine_dups,
+        hashed_embedding,
+    )
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # identical
+        (2, "dog lazy the over jumps fox brown quick the"),  # permuted
+        (3, "completely unrelated words zebra quantum flux"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    vecs = {r.doc_id: r.vec for r in
+            hashed_embedding(df, "doc_id", "text").collect()}
+    assert vecs[0] == vecs[1] == vecs[2]  # bag-of-tokens: order-blind
+    assert vecs[0] != vecs[3]
+
+    pairs = {(r.id_a, r.id_b): r.cosine for r in
+             embedding_cosine_dups(df, "doc_id", "text",
+                                   threshold=0.95).collect()}
+    assert pairs[(0, 1)] == 1.0 and pairs[(0, 2)] == 1.0
+    assert not any(3 in p for p in pairs)

@@ -153,6 +153,65 @@ def ngram_jaccard(df: DataFrame, id_col: str, text_col: str,
     )
 
 
+def hashed_embedding(df: DataFrame, id_col: str, text_col: str,
+                     dim: int = 16) -> DataFrame:
+    """(id, vec: array<double>) — a deterministic feature-hashing
+    embedding: every whitespace token (with multiplicity) increments
+    dimension hexval(md5(token)[0]) (dim <= 16 so one hex digit
+    addresses the bucket and the DuckDB oracle can replay it).  The
+    classic hashing-trick text vector: one explode + one groupBy whose
+    dim conditional counts are map-side combinable — same shuffle shape
+    as simhash."""
+    if not 1 <= dim <= 16:
+        raise ValueError("dim must be in 1..16 (one hex digit)")
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(_norm(F.col(text_col)), TOKEN_SPLIT_RE)).alias("tok"),
+    ).where(F.col("tok") != "")
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5("tok"), 1, 1), 16, 10).cast("int"),
+        F.lit(dim),
+    )
+    aggs = [
+        F.count_if(bucket == d).cast("double").alias(f"d{d}")
+        for d in range(dim)
+    ]
+    per_doc = toks.groupBy(id_col).agg(*aggs)
+    return per_doc.select(
+        id_col, F.array(*[F.col(f"d{d}") for d in range(dim)]).alias("vec")
+    )
+
+
+def embedding_cosine_dups(df: DataFrame, id_col: str, text_col: str,
+                          dim: int = 16, n_planes: int = 4,
+                          threshold: float = 0.95) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: hash-embed every document,
+    bucket by the md5-derived random-hyperplane signature (reused from
+    operators/similarity.py — an equi-join key, never all-pairs), score
+    cosine within buckets, keep pairs >= threshold.
+    Output (id_a < id_b, cosine).
+
+    The 100 TB shape: candidate generation is a self-equi-join on the
+    b-bit signature (expected bucket = n / 2^b), the embedding is one
+    map-side-combinable groupBy, and everything is md5-derived so the
+    SQL oracle replays the full pipeline."""
+    from .similarity import cosine, lsh_signature
+
+    vecs = hashed_embedding(df, id_col, text_col, dim)
+    sig = vecs.withColumn("sig", lsh_signature(F.col("vec"), n_planes, dim))
+    a = sig.select(F.col(id_col).alias("id_a"), F.col("vec").alias("va"),
+                   "sig")
+    b = sig.select(F.col(id_col).alias("id_b"), F.col("vec").alias("vb"),
+                   "sig")
+    return (
+        a.join(b, on="sig")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str,
             n_bits: int = 16) -> DataFrame:
     """SimHash over whitespace tokens, n_bits dimensions.
