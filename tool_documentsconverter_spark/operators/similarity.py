@@ -116,8 +116,9 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     every cell is probed and the result equals the exact top-k
     regardless of centroid placement."""
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
+    spark = corpus.sparkSession
     n = corpus.count()
     sampled = corpus
     if n > train_cap:
@@ -130,57 +131,55 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
             F.transform(vec_col, lambda x: x.cast("double"))
         ).alias("features")
     )
-    model = KMeans(k=n_cells, seed=seed, maxIter=10).fit(train)
-    centroids = model.clusterCenters()
+    # cache for the fit only: every KMeans iteration re-reads its input,
+    # and the training set is bounded by train_cap rows by construction
+    train.persist()
+    try:
+        model = KMeans(k=n_cells, seed=seed, maxIter=10).fit(train)
+    finally:
+        train.unpersist()
 
-    def _dist2_to_centroid(vec, c):
-        # squared L2 to a literal centroid, as a codegen'd expression
+    # centroids as a BROADCAST table, not unrolled literal expressions:
+    # an n_cells x dim literal Column tree costs O(cells * dim) driver
+    # plan-build time and blows up codegen, while a broadcast join of
+    # n_cells tiny rows keeps the plan constant-size at ANY cell count
+    cents = spark.createDataFrame(
+        [(i, [float(v) for v in c])
+         for i, c in enumerate(model.clusterCenters())],
+        "cell int, centroid array<double>",
+    )
+
+    def _d2(vec, cent):
         return F.aggregate(
-            F.zip_with(
-                F.transform(vec, lambda x: x.cast("double")),
-                F.array(*[F.lit(float(v)) for v in c]),
-                lambda x, y: (x - y) * (x - y),
-            ),
+            F.zip_with(F.transform(vec, lambda x: x.cast("double")), cent,
+                       lambda x, y: (x - y) * (x - y)),
             F.lit(0.0), lambda a, v: a + v,
         )
 
-    def cell_of(vec):
-        best_cell, best_d = None, None
-        for i, c in enumerate(centroids):
-            d = _dist2_to_centroid(vec, c)
-            if best_cell is None:
-                best_cell, best_d = F.lit(i), d
-            else:
-                cond = d < best_d
-                best_cell = F.when(cond, F.lit(i)).otherwise(best_cell)
-                best_d = F.when(cond, d).otherwise(best_d)
-        return best_cell
-
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cvec"),
-        cell_of(F.col(vec_col)).alias("cell"),
-    )
+    # corpus cell = argmin over the broadcast centroids: min_by inside
+    # a map-side-combinable groupBy (n_cells rows per vector pre-agg)
+    c = (
+        corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("cvec"))
+        .crossJoin(F.broadcast(cents))
+        .withColumn("d2", _d2(F.col("cvec"), F.col("centroid")))
+        .groupBy("neighbor_id")
+        .agg(F.min(F.struct("d2", "cell"))["cell"].alias("cell"),
+             F.first("cvec").alias("cvec"))
+    )  # struct-min: deterministic tie-break on the lowest cell id
 
     # each query probes its n_probe nearest cells: rank centroid
-    # distances, explode the kept cells -> equi-join key
-    qdists = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qvec"),
-        F.array(*[
-            F.struct(
-                _dist2_to_centroid(F.col(vec_col), c_).alias("d"),
-                F.lit(i).alias("cell"),
-            )
-            for i, c_ in enumerate(centroids)
-        ]).alias("cells"),
+    # distances per query, keep n_probe -> equi-join key
+    wq = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("cell"))
+    q = (
+        queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qvec"))
+        .crossJoin(F.broadcast(cents))
+        .withColumn("d2", _d2(F.col("qvec"), F.col("centroid")))
+        .withColumn("cell_rank", F.row_number().over(wq))
+        .where(F.col("cell_rank") <= n_probe)
+        .select("query_id", "qvec", "cell")
     )
-    q = qdists.select(
-        "query_id", "qvec",
-        F.explode(
-            F.slice(F.array_sort("cells"), 1, n_probe)
-        ).alias("probe"),
-    ).select("query_id", "qvec", F.col("probe.cell").alias("cell"))
 
     scored = (
         c.join(F.broadcast(q), on="cell")
