@@ -637,6 +637,47 @@ GROUP BY 1, 2
 """
 
 
+def _q_dup_clusters(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 64)
+    pairs = D.minhash_lsh_pairs(docs, "doc_id", "text", n_bands=4)
+    return D.cluster_duplicates(pairs).orderBy("doc_id")
+
+
+# same banding-LSH pair generation as minhash_lsh_pairs, then connected
+# components via a recursive reachability CTE (min label per component)
+_SQL_DUP_CLUSTERS = ("WITH RECURSIVE " + _SQL_SHINGLES_CTE.format(
+    where="WHERE doc_id < 64").replace("WITH ", "", 1)) + """
+, sig AS (
+  SELECT doc_id, band,
+         min(md5(CAST(band AS VARCHAR) || '|' || shingle)) AS minhash
+  FROM sh, LATERAL unnest([0, 1, 2, 3]) AS b(band)
+  GROUP BY doc_id, band
+), prs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sig a JOIN sig b ON a.band = b.band AND a.minhash = b.minhash
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), edges AS (
+  SELECT id_a, id_b FROM prs
+  UNION ALL
+  SELECT id_b, id_a FROM prs
+), nodes AS (SELECT DISTINCT id_a AS id FROM edges),
+reach AS (
+  SELECT id, id AS label FROM nodes
+  UNION
+  SELECT e.id_b AS id, r.label
+  FROM reach r JOIN edges e ON e.id_a = r.id
+), comp AS (
+  SELECT id, min(label) AS cluster_id FROM reach GROUP BY id
+), sizes AS (
+  SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id
+)
+SELECT c.id AS doc_id, c.cluster_id, s.cluster_size
+FROM comp c JOIN sizes s USING (cluster_id)
+ORDER BY doc_id
+"""
+
+
 def _q_ngram_jaccard(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
     mx = 99
@@ -1334,6 +1375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "minhash_signatures": _q_minhash_sig,
         "minhash_lsh_pairs": _q_minhash_pairs,
+        "dup_clusters": _q_dup_clusters,
         "ngram_jaccard": _q_ngram_jaccard,
         "simhash": _q_simhash,
         "embedding_cosine_dups": _q_embedding_cosine_dups,
@@ -1379,6 +1421,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _SQL_DEDUP_EXACT,
         "minhash_signatures": _SQL_MINHASH_SIG,
         "minhash_lsh_pairs": _SQL_MINHASH_PAIRS,
+        "dup_clusters": _SQL_DUP_CLUSTERS,
         "ngram_jaccard": _SQL_NGRAM_JACCARD,
         "simhash": _SQL_SIMHASH,
         "embedding_cosine_dups": _SQL_EMB_COSINE,

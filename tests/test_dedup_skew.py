@@ -98,3 +98,23 @@ def test_embedding_cosine_dups_semantics(spark):
                                    threshold=0.95).collect()}
     assert pairs[(0, 1)] == 1.0 and pairs[(0, 2)] == 1.0
     assert not any(3 in p for p in pairs)
+
+
+def test_cluster_duplicates_components(spark):
+    from tool_documentsconverter_spark.operators.dedup import (
+        cluster_duplicates,
+    )
+
+    # two components: a 10-node CHAIN (worst-case diameter for label
+    # propagation) and a triangle; ids interleaved to avoid accidental
+    # ordering luck
+    chain = [(i, i + 2) for i in range(0, 18, 2)]          # 0-2-4-...-18
+    tri = [(1, 3), (3, 5), (1, 5)]
+    pairs = spark.createDataFrame(chain + tri, "id_a long, id_b long")
+    got = {r.doc_id: (r.cluster_id, r.cluster_size)
+           for r in cluster_duplicates(pairs).collect()}
+    for n in range(0, 20, 2):
+        assert got[n] == (0, 10), (n, got[n])
+    for n in (1, 3, 5):
+        assert got[n] == (1, 3)
+    assert len(got) == 13  # nodes in pairs only; no phantom singletons

@@ -116,6 +116,65 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     )
 
 
+def cluster_duplicates(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over the near-duplicate pair graph:
+    (doc_id, cluster_id, cluster_size), cluster_id = min doc id in the
+    component — the keeper-selection step that turns candidate PAIRS
+    into dedup GROUPS.
+
+    Iterative min-label propagation: each round every node takes the
+    min of its own label and its neighbors' labels; converged when no
+    label changes.  Rounds = graph diameter — duplicate clusters are
+    near-cliques (diameter 1-2), so this converges in 2-3 rounds on
+    real dedup graphs; `max_iter` bounds pathological chains.  Each
+    round is one shuffle (join + groupBy min, map-side combinable);
+    labels are checkpointed via localCheckpoint each round so the plan
+    doesn't grow unboundedly (the classic iterative-algorithm trap).
+    """
+    edges = pairs.select("id_a", "id_b")
+    sym = edges.unionByName(
+        edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    )
+    sym = sym.localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("id_a").alias("id")).distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.id_a == labels.id)
+            .groupBy(F.col("id_b").alias("id"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, on="id", how="left")
+            .select(
+                "id",
+                F.least(F.col("label"),
+                        F.coalesce("nlabel", F.col("label"))).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        labels.join(sizes, on="label")
+        .select(F.col("id").alias("doc_id"),
+                F.col("label").alias("cluster_id"),
+                "cluster_size")
+    )
+
+
 def ngram_jaccard(df: DataFrame, id_col: str, text_col: str,
                   pairs: DataFrame, k: int = 3) -> DataFrame:
     """Exact Jaccard over word k-shingle sets for given candidate
