@@ -872,6 +872,117 @@ FROM stats
 """
 
 
+def _q_normalize_scrub(spark, sf_dir):
+    from tool_documentsconverter_spark.functions.text import (
+        normalize_text,
+        scrub_pii,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    mess = F.concat(
+        F.lit("see https://ex.com/a?b=1 or mail u"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com call +1 (555) 123-4567 end"),
+        F.lit("\u200b\x01\u00a0multi  space\t\ttail  \n line2  "),
+        F.col("text"),
+    )
+    return docs.select(
+        "doc_id",
+        normalize_text(mess).alias("normalized"),
+        scrub_pii(mess).alias("scrubbed"),
+    ).orderBy("doc_id")
+
+
+_SQL_NORMALIZE_SCRUB = r"""
+WITH m AS (
+  SELECT doc_id,
+         'see https://ex.com/a?b=1 or mail u' || CAST(doc_id AS VARCHAR)
+         || '@example.com call +1 (555) 123-4567 end' || chr(8203)
+         || chr(1) || chr(160) || 'multi  space' || chr(9) || chr(9)
+         || 'tail  ' || chr(10) || ' line2  ' || text AS mess
+  FROM documents
+)
+SELECT doc_id,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(mess, '[\x{200B}\x{200C}\x{200D}\x{2060}\x{FEFF}]',
+                           '', 'g'),
+            '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+          '[\x{00A0}\x{1680}\x{2000}-\x{200A}\x{202F}\x{205F}\x{3000}]',
+          ' ', 'g'),
+        '[ \t]+', ' ', 'g'),
+      '[ \t]+\n', chr(10), 'g'),
+    '^\s+|\s+$', '', 'g') AS normalized,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(mess, 'https?://[^\s<>"]+', '<URL>', 'g'),
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+    '[0-9][0-9 ()+.-]{7,}[0-9]', '<PHONE>', 'g') AS scrubbed
+FROM m ORDER BY doc_id
+"""
+
+
+def _q_gopher_quality(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(TS.frac_duplicate_lines(F.col("text")), 6).alias("dup_line_frac"),
+        F.round(TS.frac_bullet_lines(F.col("text")), 6).alias("bullet_frac"),
+        F.round(TS.frac_alpha_words(F.col("text")), 6).alias("alpha_frac"),
+        F.round(TS.symbol_word_ratio(F.col("text")), 6).alias("symbol_ratio"),
+        TS.gopher_flags(F.col("text"), min_words=20).alias("keep"),
+    ).orderBy("doc_id")
+
+
+_SQL_GOPHER = r"""
+WITH base AS (
+  SELECT doc_id,
+         coalesce(text, '') AS t,
+         trim(coalesce(text, '')) AS tt,
+         list_filter(list_transform(string_split(coalesce(text, ''), chr(10)),
+                                    x -> trim(x)), x -> x <> '') AS lines,
+         string_split_regex(trim(coalesce(text, '')), '\s+') AS toks
+  FROM documents
+), sig AS (
+  SELECT doc_id, t, tt, toks,
+    CASE WHEN len(lines) = 0 THEN 0.0
+         ELSE (len(lines) - len(list_distinct(lines))) * 1.0 / len(lines)
+    END AS dup_line_frac,
+    CASE WHEN len(lines) = 0 THEN 0.0
+         ELSE len(list_filter(lines, x -> regexp_matches(x, '^[-*•]')))
+              * 1.0 / len(lines)
+    END AS bullet_frac,
+    CASE WHEN tt = '' OR len(toks) = 0 THEN 0.0
+         ELSE len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+              * 1.0 / len(toks)
+    END AS alpha_frac,
+    CASE WHEN tt = '' THEN 0 ELSE len(toks) END AS words,
+    CASE WHEN tt = '' THEN 0.0
+         ELSE list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+              * 1.0 / len(toks)
+    END AS mwl,
+    CASE WHEN tt = '' OR len(toks) = 0 THEN 0.0
+         ELSE len(regexp_extract_all(t, '#|\.\.\.')) * 1.0
+              / CASE WHEN tt = '' THEN 1 ELSE len(toks) END
+    END AS symbol_ratio
+  FROM base
+)
+SELECT doc_id,
+       round(dup_line_frac, 6) AS dup_line_frac,
+       round(bullet_frac, 6) AS bullet_frac,
+       round(alpha_frac, 6) AS alpha_frac,
+       round(symbol_ratio, 6) AS symbol_ratio,
+       (dup_line_frac <= 0.3 AND bullet_frac <= 0.9
+        AND alpha_frac >= 0.8 AND symbol_ratio <= 0.1
+        AND words >= 20 AND words <= 100000
+        AND mwl >= 3.0 AND mwl <= 10.0) AS keep
+FROM sig ORDER BY doc_id
+"""
+
+
 def _q_langid(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return TS.detect_language(docs, "doc_id", "text", spark).select(
@@ -1380,6 +1491,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "embedding_cosine_dups": _q_embedding_cosine_dups,
         "textstats": _q_textstats,
+        "text_normalize_scrub": _q_normalize_scrub,
+        "gopher_quality": _q_gopher_quality,
         "lang_id": _q_langid,
         "corpus_curation": _q_corpus_curation,
         "ann_brute_topk": _q_ann_brute,
@@ -1426,6 +1539,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _SQL_SIMHASH,
         "embedding_cosine_dups": _SQL_EMB_COSINE,
         "textstats": _SQL_TEXTSTATS,
+        "text_normalize_scrub": _SQL_NORMALIZE_SCRUB,
+        "gopher_quality": _SQL_GOPHER,
         "lang_id": _SQL_LANGID,
         "corpus_curation": _SQL_CURATION,
         "ann_brute_topk": _SQL_ANN_BRUTE,

@@ -1,0 +1,58 @@
+"""Corpus hygiene operators: normalization, PII scrub, Gopher-style
+repetition/quality flags — all codegen'd Column expressions."""
+
+from pyspark.sql import functions as F
+
+from tool_documentsconverter_spark.functions.text import (
+    normalize_text,
+    scrub_pii,
+)
+from tool_documentsconverter_spark.operators import textstats as TS
+
+
+def _one(spark, text, col):
+    df = spark.createDataFrame([(text,)], "text string")
+    return df.select(col.alias("v")).collect()[0].v
+
+
+def test_normalize_text(spark):
+    messy = "a​b\x01c d  e\t\tf  \n g  "
+    assert _one(spark, messy, normalize_text(F.col("text"))) == \
+        "abc d e f\n g"
+    assert _one(spark, None, normalize_text(F.col("text"))) == ""
+
+
+def test_scrub_pii(spark):
+    s = ("mail bob.smith+x@corp.example.org or https://ex.com/p?q=1#f "
+         "call +1 (555) 123-4567 now")
+    out = _one(spark, s, scrub_pii(F.col("text")))
+    assert "<EMAIL>" in out and "<URL>" in out and "<PHONE>" in out
+    assert "bob" not in out and "ex.com" not in out and "555" not in out
+
+
+def test_gopher_signals(spark):
+    spam = "\n".join(["buy now buy now"] * 10)
+    assert _one(spark, spam, TS.frac_duplicate_lines(F.col("text"))) == 0.9
+    bullets = "- a\n- b\nplain"
+    assert abs(_one(spark, bullets, TS.frac_bullet_lines(F.col("text")))
+               - 2 / 3) < 1e-9
+    digits = "123 456 word"
+    assert abs(_one(spark, digits, TS.frac_alpha_words(F.col("text")))
+               - 1 / 3) < 1e-9
+    symbols = "# one ... two words here"
+    assert _one(spark, symbols, TS.symbol_word_ratio(F.col("text"))) > 0
+
+
+def test_gopher_keep_verdicts(spark):
+    good = ("This is a perfectly ordinary paragraph of english prose "
+            "that keeps going with plain sentences and normal words "
+            "until it comfortably clears the minimum word threshold "
+            "for the quality gate to accept it as real content today. "
+            "More filler words arrive to stay safely above the limit.")
+    spam = "\n".join(["lorem ipsum repeated line"] * 40)
+    df = spark.createDataFrame([(0, good), (1, spam)], "i long, text string")
+    got = {r.i: r.keep for r in df.select(
+        "i", TS.gopher_flags(F.col("text"), min_words=20).alias("keep")
+    ).collect()}
+    assert got[0] is True
+    assert got[1] is False  # duplicate-line fraction kills it

@@ -36,3 +36,46 @@ def message_tail(col: Column, n: int = 1200) -> Column:
     """Tail-truncation of failure messages to the last n chars
     (doc_to_md/main.py:375-376 keeps stderr[-1200:], stdout[-600:])."""
     return F.right(col, F.lit(n))
+
+
+# ---------------------------------------------------------------------------
+# Training-data text hygiene (no reference analog; standard corpus prep)
+# ---------------------------------------------------------------------------
+# zero-width + BOM characters, C0 controls (newline/tab kept),
+# unicode space separators -> ASCII space.  Escaped \\x{...} classes --
+# the syntax Java regex (Spark) and RE2 (DuckDB) both accept.
+_ZERO_WIDTH_RE = r"[\x{200B}\x{200C}\x{200D}\x{2060}\x{FEFF}]"
+_CONTROL_RE = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+_UNICODE_SPACE_RE = r"[\x{00A0}\x{1680}\x{2000}-\x{200A}\x{202F}\x{205F}\x{3000}]"
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[^\s<>\"]+"
+LONG_DIGIT_RE = r"[0-9][0-9 ()+.-]{7,}[0-9]"
+
+
+def normalize_text(col: Column) -> Column:
+    """Corpus text normalization as one codegen'd expression chain:
+    drop zero-width/BOM chars, strip C0/C1 controls (keeping \\n and
+    \\t), map unicode space separators to ASCII space, squash runs of
+    spaces/tabs, and trim each line's trailing whitespace."""
+    out = F.coalesce(col, F.lit(""))
+    out = F.regexp_replace(out, _ZERO_WIDTH_RE, "")
+    out = F.regexp_replace(out, _CONTROL_RE, "")
+    out = F.regexp_replace(out, _UNICODE_SPACE_RE, " ")
+    out = F.regexp_replace(out, "[ \t]+", " ")
+    out = F.regexp_replace(out, "[ \t]+\n", "\n")
+    return F.regexp_replace(out, r"^\s+|\s+$", "")
+
+
+def scrub_pii(col: Column,
+              email_token: str = "<EMAIL>",
+              url_token: str = "<URL>",
+              phone_token: str = "<PHONE>") -> Column:
+    """Cheap PII redaction for training corpora: emails, URLs, and
+    long digit runs (phone-ish) replaced by placeholder tokens.  URL
+    first so emails inside URLs don't leave fragments.  Character-class
+    regexes only, so the DuckDB oracle replays them under RE2."""
+    out = F.coalesce(col, F.lit(""))
+    out = F.regexp_replace(out, URL_RE, url_token)
+    out = F.regexp_replace(out, EMAIL_RE, email_token)
+    return F.regexp_replace(out, LONG_DIGIT_RE, phone_token)

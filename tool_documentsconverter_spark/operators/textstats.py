@@ -106,6 +106,81 @@ def doc_fingerprint(text: Column, k: int = 3) -> Column:
     )
 
 
+# ---------------------------------------------------------------------------
+# Gopher/C4-style repetition + quality flags (all pure Column exprs)
+# ---------------------------------------------------------------------------
+_BULLET_RE = r"^[-*•]"
+
+
+def frac_duplicate_lines(text: Column) -> Column:
+    """Fraction of non-blank lines that are repeats of an earlier line
+    (the Gopher duplicate-line filter signal)."""
+    lines = F.filter(
+        F.transform(F.split(F.coalesce(text, F.lit("")), r"\n"), F.trim),
+        lambda x: x != "",
+    )
+    n = F.size(lines)
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        (n - F.size(F.array_distinct(lines))).cast("double") / n
+    )
+
+
+def frac_bullet_lines(text: Column) -> Column:
+    """Fraction of non-blank lines starting with a bullet marker."""
+    lines = F.filter(
+        F.transform(F.split(F.coalesce(text, F.lit("")), r"\n"), F.trim),
+        lambda x: x != "",
+    )
+    n = F.size(lines)
+    bullets = F.size(F.filter(lines, lambda x: x.rlike(_BULLET_RE)))
+    return F.when(n == 0, F.lit(0.0)).otherwise(bullets.cast("double") / n)
+
+
+def frac_alpha_words(text: Column) -> Column:
+    """Fraction of whitespace tokens containing at least one ASCII
+    letter (Gopher's 80%-alphabetic filter signal)."""
+    t = F.trim(F.coalesce(text, F.lit("")))
+    toks = F.split(t, TOKEN_SPLIT_RE)
+    n = F.size(toks)
+    alpha = F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]")))
+    return F.when((t == "") | (n == 0), F.lit(0.0)).otherwise(
+        alpha.cast("double") / n
+    )
+
+
+def symbol_word_ratio(text: Column) -> Column:
+    """(# of '#' or '...' occurrences) / words — Gopher's symbol-ratio
+    filter signal."""
+    t = F.coalesce(text, F.lit(""))
+    words = ws_token_count(text)
+    syms = F.regexp_count(t, F.lit(r"#|\.\.\.")).cast("double")
+    return F.when(words == 0, F.lit(0.0)).otherwise(syms / words)
+
+
+def gopher_flags(text: Column,
+                 max_dup_line_frac: float = 0.3,
+                 max_bullet_frac: float = 0.9,
+                 min_alpha_frac: float = 0.8,
+                 max_symbol_ratio: float = 0.1,
+                 min_words: int = 50, max_words: int = 100_000,
+                 min_mean_word: float = 3.0,
+                 max_mean_word: float = 10.0) -> Column:
+    """keep/drop verdict of the Gopher-style repetition + quality rule
+    set (Rae et al. 2021's heuristics, re-expressed as codegen'd
+    column predicates).  Returns a boolean `keep` column; individual
+    signals are exposed separately so pipelines can log why."""
+    words = ws_token_count(text)
+    mwl = mean_word_len(text)
+    return (
+        (frac_duplicate_lines(text) <= max_dup_line_frac)
+        & (frac_bullet_lines(text) <= max_bullet_frac)
+        & (frac_alpha_words(text) >= min_alpha_frac)
+        & (symbol_word_ratio(text) <= max_symbol_ratio)
+        & (words >= min_words) & (words <= max_words)
+        & (mwl >= min_mean_word) & (mwl <= max_mean_word)
+    )
+
+
 def lang_marker_df(spark: SparkSession) -> DataFrame:
     rows = [(lang, w) for lang, ws in LANG_MARKERS.items() for w in ws]
     return spark.createDataFrame(rows, "lang string, marker string")
