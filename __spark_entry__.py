@@ -559,6 +559,40 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def _q_asof_join(spark, sf_dir):
+    """As-of join: for every purchase event, the user's most recent
+    view event at-or-before it (the canonical attribution query)."""
+    from tool_documentsconverter_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_event_id")
+    )
+    out = asof_join(purchases, views, key="user_id", ts="ts",
+                    right_cols=["view_event_id"], prefix="")
+    return out.select(
+        "event_id", "user_id",
+        F.unix_timestamp("ts").alias("purchase_epoch"),
+        "view_event_id",
+    ).orderBy("event_id")
+
+
+# DuckDB has a NATIVE ASOF JOIN — the strongest possible oracle for a
+# hand-built distributed as-of (inclusive <=, same tie semantics)
+_SQL_ASOF = """
+SELECT p.event_id, p.user_id,
+       CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_epoch,
+       v.event_id AS view_event_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND v.ts <= p.ts
+ORDER BY p.event_id
+"""
+
+
 def _q_events_hourly(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     hour = F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch")
@@ -1483,6 +1517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "broadcast_dim_join": _q_broadcast_dim,
         "events_json": _q_events_json,
         "events_hourly": _q_events_hourly,
+        "asof_join": _q_asof_join,
         "dedup_exact": _q_dedup_exact,
         "minhash_signatures": _q_minhash_sig,
         "minhash_lsh_pairs": _q_minhash_pairs,
@@ -1531,6 +1566,7 @@ def oracle_sql() -> dict[str, str]:
         "broadcast_dim_join": _SQL_BROADCAST_DIM,
         "events_json": _SQL_EVENTS_JSON,
         "events_hourly": _SQL_EVENTS_HOURLY,
+        "asof_join": _SQL_ASOF,
         "dedup_exact": _SQL_DEDUP_EXACT,
         "minhash_signatures": _SQL_MINHASH_SIG,
         "minhash_lsh_pairs": _SQL_MINHASH_PAIRS,
