@@ -1417,11 +1417,18 @@ def _q_md_pdf_roundtrip(spark, sf_dir):
 
 
 # wrap_text_md adds exactly 5 newlines around the text; the PDF paginates
-# at 46 lines (kernels._PDF_PAGE_LINES); extraction is byte-exact on
-# latin-1-degraded input by construction (tests/test_md_pdf.py)
+# at 46 lines (kernels._PDF_PAGE_LINES).  The roundtrip is byte-exact on
+# latin-1-degraded input ONLY for single-page documents: extract_pdf_text
+# joins pages with '\n\n' where the source had '\n' at the page boundary,
+# so every multi-page doc honestly fails the byte check — the oracle
+# predicts exactly that (n_pages = 1), instead of hardcoding true and
+# relying on fixtures that happen to be newline-free (tests/test_md_pdf.py
+# pins both the single-page equality and the multi-page inequality).
 _SQL_MD_PDF = """
 SELECT doc_id,
-       true AS roundtrip_ok,
+       ((5 + length(coalesce(text, ''))
+         - length(replace(coalesce(text, ''), chr(10), ''))) // 46
+        + 1) = 1 AS roundtrip_ok,
        CAST((5 + length(coalesce(text, ''))
              - length(replace(coalesce(text, ''), chr(10), ''))) // 46
             + 1 AS INTEGER) AS n_pages

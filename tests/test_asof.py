@@ -34,6 +34,22 @@ def test_asof_join_semantics(spark):
     assert len(got) == 5
 
 
+def test_asof_join_right_tie_is_deterministic(spark):
+    """Multiple right rows sharing the same (key, ts): the greatest
+    payload struct wins, every run — the window orders by the payload
+    as the final tie-break instead of shuffle arrival order."""
+    left = spark.createDataFrame([("u", T(20), "L")],
+                                 "k string, ts timestamp, lbl string")
+    right = spark.createDataFrame(
+        [("u", T(10), 5), ("u", T(10), 9), ("u", T(10), 1)],
+        "k string, ts timestamp, rid long",
+    )
+    for _ in range(3):  # repartition shuffles arrival order between runs
+        row = asof_join(left, right.repartition(8), "k", "ts",
+                        ["rid"], prefix="").collect()[0]
+        assert row.rid == 9
+
+
 def test_asof_join_keeps_left_columns(spark):
     left = spark.createDataFrame([("a", T(1), 7, "x")],
                                  "k string, ts timestamp, n long, s string")

@@ -112,6 +112,14 @@ _SNIFF_CASES = [
     # legacy OLE2 magic (latin-1 text form)
     ("\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1garbage", ""),
     ("\xd0\xcf\x11not-quite-magic", ""),
+    # Unicode whitespace before the magic: Java regex \s is ASCII-only,
+    # str.lstrip() is not — both paths must strip the full isspace() set
+    ("\xa0<!DOCTYPE html><html>x", ""),
+    ("  <html><body>y", ""),
+    ("　  <?xml version='1.0'?><w:document><w:body/>", ""),
+    ("\x85 <!doctype html>", ""),
+    ("  <html>", ""),
+    ("\x1c\x1d\x1e\x1f<!DOCTYPE html>", ""),
 ]
 
 

@@ -36,6 +36,24 @@ def test_pagination():
     assert len(flat) == 100
 
 
+def test_multipage_roundtrip_is_honestly_lossy():
+    """The documented contract: byte-exact round-trip ONLY while output
+    is one page; at every 46-line page break the extractor's '\\n\\n'
+    page join inserts one extra newline vs the source's '\\n'.  The
+    md_pdf_roundtrip oracle predicts roundtrip_ok = (n_pages == 1) —
+    this pins the behavior that prediction relies on."""
+    md = "\n".join(f"line {i}" for i in range(100))  # 3 pages: 46+46+8
+    pdf = K.markdown_to_pdf_bytes(md)
+    back = K.extract_pdf_text(pdf.decode("latin-1"))
+    assert back != md                      # lossy across page breaks...
+    assert back.replace("\n\n", "\n") == md  # ...by exactly the page join
+    # and the single-page claim stays byte-exact at the boundary (46
+    # lines = 45 newlines -> still one page)
+    md1 = "\n".join(f"l{i}" for i in range(46))
+    assert K.extract_pdf_text(
+        K.markdown_to_pdf_bytes(md1).decode("latin-1")) == md1
+
+
 def test_unicode_degrades_not_crashes():
     pdf = K.markdown_to_pdf_bytes("中文 🚀 ok")
     text = K.extract_pdf_text(pdf.decode("latin-1"))

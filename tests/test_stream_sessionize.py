@@ -82,3 +82,55 @@ def test_sessions_split_on_gap_across_microbatches(spark, tmp_path):
     # conv-b stayed in one session, 2 events after batch 2
     open_b = by_key[("conv-b", 0, False)]
     assert open_b.events == 2
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for unit-testing the sessionizer fn
+    without a streaming query."""
+
+    hasTimedOut = False
+
+    def __init__(self):
+        self.exists = False
+        self._v = None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v, self.exists = v, True
+
+    def setTimeoutDuration(self, ms):
+        pass
+
+    def remove(self):
+        self._v, self.exists = None, False
+
+
+def test_sessionizer_sorts_across_chunks():
+    """applyInPandasWithState delivers a group's rows as MULTIPLE
+    chunks with no cross-chunk ordering: the gap logic must sort ts
+    globally, not per chunk.  Here chunk 1 carries the LATEST event;
+    per-chunk sorting would see 50m, 0m, 10m in that order, never
+    observe the 40-minute gap, and lump all 3 events into one session."""
+    import pandas as pd
+
+    from tool_documentsconverter_spark.streaming.sessionize_stream import (
+        make_sessionizer,
+    )
+
+    fn = make_sessionizer(gap_seconds=1800)
+    chunk1 = pd.DataFrame({"ts": [T0 + dt.timedelta(minutes=50)]})
+    chunk2 = pd.DataFrame({"ts": [T0, T0 + dt.timedelta(minutes=10)]})
+    out = pd.concat(list(fn(("conv-x",), iter([chunk1, chunk2]),
+                            _FakeState())))
+    rows = {(r.session_id, r.closed): r for r in out.itertuples()}
+    closed = rows[(0, True)]
+    assert closed.events == 2  # t0 + t0+10m closed by the 50m event
+    assert closed.last_ts_epoch == int(
+        (T0 + dt.timedelta(minutes=10)).timestamp())
+    opened = rows[(1, False)]
+    assert opened.events == 1
+    assert opened.session_start_epoch == int(
+        (T0 + dt.timedelta(minutes=50)).timestamp())

@@ -25,12 +25,24 @@ from ..kernels import (
 )
 
 
+# str.lstrip()'s whitespace set, spelled out: Java regex \s is
+# ASCII-only, so NBSP/U+2028-led payloads would classify differently on
+# the Column path vs the kernel twin without the explicit Unicode
+# members (every codepoint where str.isspace() is True).  \x{...}
+# escapes work in Java regex and RE2 alike, so a SQL oracle can replay
+# the same class verbatim.
+_WS_CLASS = (
+    r"[\s\x{1C}-\x{1F}\x{85}\x{A0}\x{1680}\x{2000}-\x{200A}"
+    r"\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}]"
+)
+
+
 def sniff_format(text: Column, fmt_hint: Column | None = None) -> Column:
     head = F.substring(text, 1, 512)
     # regexp strip, NOT F.ltrim: ltrim removes only spaces, while the
-    # kernel twin uses str.lstrip() (all whitespace) — \n/\t-led
-    # payloads must classify identically on both paths
-    stripped = F.regexp_replace(head, r"^\s+", "")
+    # kernel twin uses str.lstrip() (all Unicode whitespace) — \n/\t/
+    # NBSP-led payloads must classify identically on both paths
+    stripped = F.regexp_replace(head, f"^{_WS_CLASS}+", "")
     low = F.lower(F.substring(stripped, 1, 64))
     hint = fmt_hint if fmt_hint is not None else F.lit("")
     hint = F.coalesce(hint, F.lit(""))

@@ -874,6 +874,14 @@ def markdown_to_pdf_bytes(md: str) -> bytes:
     (tests/test_md_pdf.py).  Text is WinAnsi/latin-1 (Helvetica);
     unmappable characters degrade to '?' — a documented limitation,
     not a crash.
+
+    Round-trip contract: extract_pdf_text(markdown_to_pdf_bytes(md))
+    is byte-equal to the latin-1-degraded source ONLY while the output
+    is a single page (md under 47 lines).  Multi-page output re-joins
+    pages with '\\n\\n' where the source had '\\n' at the 46-line
+    boundary, so the round-trip inserts one extra newline per page
+    break — documented, tested (test_md_pdf.py), and asserted honestly
+    by the md_pdf_roundtrip oracle (roundtrip_ok = n_pages == 1).
     """
     lines = md.split("\n")
     pages = [lines[i:i + _PDF_PAGE_LINES]

@@ -11,7 +11,11 @@ is a single hash shuffle on the key + a within-partition sort — no
 range cross-join, no per-key driver loop, and skew follows the same
 rules as any keyed window (salt upstream if one key dominates).
 Ties (right.ts == left.ts) match, because rights sort before lefts at
-equal timestamps.
+equal timestamps.  Among MULTIPLE right rows sharing the same
+(key, ts), the greatest payload struct wins (the payload participates
+in the window ordering) — a deterministic tie-break, where leaving the
+order unspecified would make the matched row vary run-to-run with
+shuffle arrival order.
 """
 
 from __future__ import annotations
@@ -43,9 +47,15 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, ts: str,
         F.lit(1).alias("_asof_side"),
         *[c for c in left.columns if c not in (key, ts)],
     )
+    # payload last in the ordering: among right rows tied on (key, ts)
+    # the greatest payload sorts last, so F.last picks it — without
+    # this the match is nondeterministic under shuffle.  Left rows all
+    # carry NULL payload (sorted first within their side, skipped by
+    # ignorenulls), so their relative order never changes the result.
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col(ts).asc(), F.col("_asof_side").asc())
+        .orderBy(F.col(ts).asc(), F.col("_asof_side").asc(),
+                 F.col("_asof_payload").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     joined = (

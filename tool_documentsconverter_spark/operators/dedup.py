@@ -17,6 +17,8 @@ Design for 100 TB:
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -141,6 +143,7 @@ def cluster_duplicates(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         .withColumn("label", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    changed = 0
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.id_a == labels.id)
@@ -163,9 +166,28 @@ def cluster_duplicates(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             .limit(1)
             .count()
         )
+        # the previous round's checkpoint blocks are dead once the new
+        # labels are materialized — release our reference eagerly
+        # (best-effort unpersist; the ContextCleaner reclaims the
+        # checkpoint blocks once the JVM-side reference drops) instead
+        # of holding every round's labels until session end
+        try:
+            labels.unpersist()
+        except Exception:  # pragma: no cover — best-effort cleanup
+            pass
         labels = new_labels
         if changed == 0:
             break
+    else:
+        if changed != 0:
+            warnings.warn(
+                f"cluster_duplicates: label propagation did not converge "
+                f"within max_iter={max_iter} rounds (component diameter "
+                f"exceeds the bound); cluster_ids may be split — raise "
+                f"max_iter for chain-shaped duplicate graphs",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (
         labels.join(sizes, on="label")

@@ -60,11 +60,17 @@ def make_sessionizer(gap_seconds: int = 1800,
         else:
             session_id, events, start, last = 0, 0, None, None
 
+        # a group's rows arrive as MULTIPLE chunks with no cross-chunk
+        # ordering guarantee (>10k events/micro-batch splits): collect
+        # all chunks first and sort ts ONCE globally — sorting per
+        # chunk would process events out of order across chunk
+        # boundaries and silently mis-split sessions.  Bounded memory:
+        # one micro-batch's events for one conversation.
+        chunks = [pdf for pdf in batches if not pdf.empty]
         out = []
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            for ts in pdf["ts"].sort_values():
+        if chunks:
+            all_ts = pd.concat([pdf["ts"] for pdf in chunks]).sort_values()
+            for ts in all_ts:
                 epoch = int(pd.Timestamp(ts).timestamp())
                 if last is not None and epoch - last > gap_seconds:
                     # close the previous session, open the next
