@@ -748,14 +748,20 @@ JOIN sizes zb ON zb.doc_id = p.id_b
 
 
 def _q_embedding_cosine_dups(spark, sf_dir):
+    # 2 bands x 4 bits (planes 0..7) is the ORACLE configuration: small
+    # enough that 16-bucket bands still collide at sf test scale; the
+    # operator's production defaults are 4 bands x 12 bits + the
+    # max_bucket guard (inert here, replayed by the SQL anyway)
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
     return D.embedding_cosine_dups(
-        docs, "doc_id", "text", dim=16, n_planes=4, threshold=0.95
+        docs, "doc_id", "text", dim=16, n_bands=2, bits_per_band=4,
+        threshold=0.95, max_bucket=1000,
     ).orderBy("id_a", "id_b")
 
 
-# full replay of operators/dedup.py hashed_embedding + the md5
-# hyperplane signature (similarity.py) + cosine gate — every stage is
+# full replay of operators/dedup.py hashed_embedding + the BANDED md5
+# hyperplane signatures (band b = planes b*4..b*4+3) + the max_bucket
+# exclusion + distinct-candidate cosine gate — every stage is
 # md5-derived precisely so this SQL can reproduce it
 _SQL_EMB_COSINE = r"""
 WITH toks AS (
@@ -787,23 +793,34 @@ dense AS (
               ORDER BY d) AS ws
   FROM (
     SELECT p, d, md5(CAST(p AS VARCHAR) || ':' || CAST(d AS VARCHAR)) AS h
-    FROM range(4) t(p), range(16) u(d)
+    FROM range(8) t(p), range(16) u(d)
   ) GROUP BY p
-), sig AS (
-  SELECT v.doc_id, v.vec,
+), sigs AS (
+  SELECT v.doc_id, pw.p // 4 AS band,
          string_agg(
            CASE WHEN list_sum(list_transform(range(1, 17),
                   i -> v.vec[i] * pw.ws[i])) >= 0
                 THEN '1' ELSE '0' END, '' ORDER BY pw.p) AS sig
   FROM vecs v, pw
-  GROUP BY v.doc_id, v.vec
-), scored AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         round(list_dot_product(a.vec, b.vec)
-               / (sqrt(list_dot_product(a.vec, a.vec))
-                  * sqrt(list_dot_product(b.vec, b.vec))), 6) AS cosine
-  FROM sig a JOIN sig b ON a.sig = b.sig
+  GROUP BY v.doc_id, band
+), keep AS (
+  SELECT band, sig
+  FROM (SELECT band, sig, count(*) AS bucket_n FROM sigs GROUP BY 1, 2)
+  WHERE bucket_n <= 1000
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sigs a
+  JOIN keep k ON k.band = a.band AND k.sig = a.sig
+  JOIN sigs b ON a.band = b.band AND a.sig = b.sig
   WHERE a.doc_id < b.doc_id
+), scored AS (
+  SELECT c.id_a, c.id_b,
+         round(list_dot_product(va.vec, vb.vec)
+               / (sqrt(list_dot_product(va.vec, va.vec))
+                  * sqrt(list_dot_product(vb.vec, vb.vec))), 6) AS cosine
+  FROM cand c
+  JOIN vecs va ON va.doc_id = c.id_a
+  JOIN vecs vb ON vb.doc_id = c.id_b
 )
 SELECT id_a, id_b, cosine FROM scored
 WHERE cosine >= 0.95

@@ -100,6 +100,58 @@ def test_embedding_cosine_dups_semantics(spark):
     assert not any(3 in p for p in pairs)
 
 
+def test_embedding_cosine_dups_mega_bucket_guard(spark):
+    """10k identical documents share every band signature — unguarded
+    that bucket alone would emit ~50M pairs per band.  The max_bucket
+    guard must exclude it (exact dedup owns that cluster) while the
+    genuine near-dup pair among the distinct docs still surfaces."""
+    from tool_documentsconverter_spark.operators.dedup import (
+        embedding_cosine_dups,
+    )
+
+    n = 10_000
+    boiler = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("standard disclaimer boilerplate text").alias("text"),
+    )
+    distinct = spark.createDataFrame(
+        [(n + 0, "the quick brown fox jumps over the lazy dog today"),
+         (n + 1, "the quick brown fox jumps over the lazy dog today now"),
+         (n + 2, "completely different content about spark shuffles")],
+        "doc_id long, text string",
+    )
+    df = boiler.unionByName(distinct)
+    pairs = embedding_cosine_dups(
+        df, "doc_id", "text", n_bands=4, bits_per_band=4,
+        threshold=0.90, max_bucket=100,
+    ).collect()  # completes in seconds; unguarded would OOM the test
+    ids = {r.id_a for r in pairs} | {r.id_b for r in pairs}
+    assert all(i >= n for i in ids), sorted(ids)[:5]
+    assert any((r.id_a, r.id_b) == (n, n + 1) for r in pairs)
+
+
+def test_embedding_cosine_dups_banding_or_semantics(spark):
+    """A pair is a candidate when ANY band's full signature matches —
+    two vectors differing on one early hyperplane must still pair via a
+    later band (single-signature LSH would have dropped them)."""
+    from tool_documentsconverter_spark.operators.dedup import (
+        embedding_cosine_dups,
+    )
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta"),
+        (1, "alpha beta gamma delta epsilon zeta eta"),  # near-dup
+        (2, "alpha beta gamma delta epsilon zeta"),      # exact dup of 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # with many narrow bands the near-dup pair survives at least one band
+    got = {(r.id_a, r.id_b) for r in embedding_cosine_dups(
+        df, "doc_id", "text", n_bands=8, bits_per_band=2,
+        threshold=0.90).collect()}
+    assert (0, 2) in got                      # exact dup always pairs
+    assert (0, 1) in got and (1, 2) in got    # near-dup recalled via OR
+
+
 def test_cluster_duplicates_components(spark):
     from tool_documentsconverter_spark.operators.dedup import (
         cluster_duplicates,

@@ -95,19 +95,27 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     Mega-cluster guard: a bucket with m members emits m^2 pairs, so a
     single 10M-copy boilerplate document would turn the self-join
     quadratic at corpus scale.  Buckets above `max_bucket` members are
-    excluded from pair generation (one extra groupBy over the tiny
-    (band, minhash) signature table, map-side combinable) — those
-    clusters are exact-or-near-exact duplicates by construction and are
-    handled by exact_dedup_keys; the guard keeps worst-case output at
-    n_buckets * max_bucket^2 instead of m^2."""
+    excluded from pair generation — those clusters are exact-or-near-
+    exact duplicates by construction and are handled by
+    exact_dedup_keys; the guard keeps worst-case output at
+    n_buckets * max_bucket^2 instead of m^2.
+
+    Guard cost: one groupBy over the tiny (band, minhash) signature
+    table (map-side combinable) to find the OVERSIZED buckets — rare by
+    construction — then a broadcast ``left_anti`` against that
+    blacklist.  Joining the blacklist (a handful of rows) instead of
+    inner-joining the full keep-list keeps the guard at near-zero
+    shuffle cost: the signature table is never re-shuffled, only
+    hash-probed against a broadcast set."""
     sig = minhash_signatures(df, id_col, text_col, n_bands, k)
-    bucket_sizes = (
+    oversized = (
         sig.groupBy("band", "minhash")
         .agg(F.count(F.lit(1)).alias("bucket_n"))
-        .where(F.col("bucket_n") <= max_bucket)
+        .where(F.col("bucket_n") > max_bucket)
         .select("band", "minhash")
     )
-    bounded = sig.join(bucket_sizes, on=["band", "minhash"])
+    bounded = sig.join(F.broadcast(oversized), on=["band", "minhash"],
+                       how="left_anti")
     a = bounded.select(F.col(id_col).alias("id_a"), "band", "minhash")
     b = bounded.select(F.col(id_col).alias("id_b"), "band", "minhash")
     return (
@@ -264,29 +272,72 @@ def hashed_embedding(df: DataFrame, id_col: str, text_col: str,
 
 
 def embedding_cosine_dups(df: DataFrame, id_col: str, text_col: str,
-                          dim: int = 16, n_planes: int = 4,
-                          threshold: float = 0.95) -> DataFrame:
+                          dim: int = 16, n_bands: int = 4,
+                          bits_per_band: int = 12,
+                          threshold: float = 0.95,
+                          max_bucket: int = 1000) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: hash-embed every document,
-    bucket by the md5-derived random-hyperplane signature (reused from
-    operators/similarity.py — an equi-join key, never all-pairs), score
-    cosine within buckets, keep pairs >= threshold.
+    generate candidates with BANDED random-hyperplane LSH (a pair is a
+    candidate when it shares the full signature of ANY band — the same
+    OR-of-bands construction as minhash_lsh_pairs), score cosine on the
+    distinct candidates, keep pairs >= threshold.
     Output (id_a < id_b, cosine).
 
-    The 100 TB shape: candidate generation is a self-equi-join on the
-    b-bit signature (expected bucket = n / 2^b), the embedding is one
-    map-side-combinable groupBy, and everything is md5-derived so the
-    SQL oracle replays the full pipeline."""
-    from .similarity import cosine, lsh_signature
+    The 100 TB shape, band by band:
+     - band b's signature is ``bits_per_band`` hyperplane sign bits
+       (global plane indices b*bits .. (b+1)*bits - 1, md5-derived so a
+       SQL oracle replays them) — expected bucket = n / 2^bits, so the
+       per-bucket self-join stays linear when bits is sized to the
+       corpus (12 bits = 4096 buckets per band; raise for larger n).
+     - the mega-cluster guard excludes buckets above ``max_bucket``
+       members via a broadcast left_anti against the (tiny) oversized-
+       bucket blacklist, exactly like minhash_lsh_pairs — a single
+       boilerplate cluster can no longer go quadratic.
+     - candidates are deduped to (id_a, id_b) BEFORE scoring, then the
+       16-dim vectors join back by id; the banded explode never carries
+       vectors through the shuffle.
+    A single unbanded signature (the previous shape) needs few bits to
+    keep recall, which at 2^4 = 16 buckets made every bucket n/16 and
+    the join O(n^2/16) — banding gets recall from the OR across bands
+    instead, so each band can afford enough bits to stay selective."""
+    from .similarity import cosine, hyperplane_sign
 
     vecs = hashed_embedding(df, id_col, text_col, dim)
-    sig = vecs.withColumn("sig", lsh_signature(F.col("vec"), n_planes, dim))
-    a = sig.select(F.col(id_col).alias("id_a"), F.col("vec").alias("va"),
-                   "sig")
-    b = sig.select(F.col(id_col).alias("id_b"), F.col("vec").alias("vb"),
-                   "sig")
-    return (
-        a.join(b, on="sig")
+    band_sigs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat(*[
+                hyperplane_sign(F.col("vec"), b * bits_per_band + j, dim)
+                for j in range(bits_per_band)
+            ]).alias("sig"),
+        )
+        for b in range(n_bands)
+    ])
+    sigb = (
+        vecs.select(F.col(id_col), F.explode(band_sigs).alias("bs"))
+        .select(id_col, F.col("bs.band").alias("band"),
+                F.col("bs.sig").alias("sig"))
+    )
+    oversized = (
+        sigb.groupBy("band", "sig")
+        .agg(F.count(F.lit(1)).alias("bucket_n"))
+        .where(F.col("bucket_n") > max_bucket)
+        .select("band", "sig")
+    )
+    bounded = sigb.join(F.broadcast(oversized), on=["band", "sig"],
+                        how="left_anti")
+    a = bounded.select(F.col(id_col).alias("id_a"), "band", "sig")
+    b = bounded.select(F.col(id_col).alias("id_b"), "band", "sig")
+    cand = (
+        a.join(b, on=["band", "sig"])
         .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = vecs.select(F.col(id_col).alias("id_a"), F.col("vec").alias("va"))
+    vb = vecs.select(F.col(id_col).alias("id_b"), F.col("vec").alias("vb"))
+    return (
+        cand.join(va, on="id_a").join(vb, on="id_b")
         .withColumn("cosine", F.round(cosine(F.col("va"), F.col("vb")), 6))
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
