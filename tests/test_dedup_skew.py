@@ -64,13 +64,15 @@ def test_lsh_topk_bucket_cap_deterministic(spark):
     rows = [(i, [1.0 + (i % 3) * 1e-4] * 8 + [0.5] * 8) for i in range(60)]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     queries = df.where(F.col("vec_id") == 0)
-    capped = lsh_topk(df, queries, k=5, n_planes=2, dim=16, max_bucket=20)
+    capped = lsh_topk(df, queries, k=5, n_bands=1, bits_per_band=2,
+                      dim=16, max_bucket=20)
     got = capped.collect()
     assert len(got) == 5
     assert all(r.neighbor_id < 20 for r in got)  # cap keeps lowest ids
     # uncapped agrees on ranking (same scores among the kept ids)
     full = {r.neighbor_id: r.rank
-            for r in lsh_topk(df, queries, k=5, n_planes=2, dim=16).collect()}
+            for r in lsh_topk(df, queries, k=5, n_bands=1, bits_per_band=2,
+                              dim=16, max_bucket=None).collect()}
     for r in got:
         assert full.get(r.neighbor_id) is not None
 

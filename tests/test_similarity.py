@@ -60,8 +60,56 @@ def test_ivf_full_probe_equals_exact(emb, queries, exact):
     assert got == exact
 
 
+def test_ivf_prefit_centroids_reused(emb, queries, exact):
+    """The production shape: fit once, pass the centroid list to every
+    ivf_topk call.  The fit is deterministic (seeded), and a prefit
+    full-probe run still equals the exact top-k."""
+    c1 = SIM.fit_ivf_centroids(emb, n_cells=8)
+    c2 = SIM.fit_ivf_centroids(emb, n_cells=8)
+    assert c1 == c2  # seeded numpy Lloyd's: bit-identical refits
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in SIM.ivf_topk(emb, queries, k=5, n_cells=8, n_probe=8,
+                              centroids=c1).collect()
+    }
+    assert got == exact
+    # wrong cell count is rejected loudly, not silently mis-assigned
+    with pytest.raises(ValueError):
+        SIM.ivf_topk(emb, queries, n_cells=16, centroids=c1)
+
+
 def test_lsh_candidates_subset_scored_correctly(emb, queries):
-    rows = SIM.lsh_topk(emb, queries, k=5, n_planes=4, dim=64).collect()
+    rows = SIM.lsh_topk(emb, queries, k=5, n_bands=4, bits_per_band=4,
+                        dim=64).collect()
     assert rows  # buckets are non-degenerate on this data
     for r in rows:
         assert -1.000001 <= r.score <= 1.000001
+
+
+def test_lsh_banding_improves_recall(emb, queries, exact):
+    """OR-of-bands recall monotonicity: 4 bands of 4 bits must recall
+    at least what the single 4-bit band (the oracle config) recalls —
+    band 0's candidates are a subset of the banded candidate set by
+    construction (same plane indices 0..3)."""
+    single = {
+        (r.query_id, r.neighbor_id)
+        for r in SIM.lsh_topk(emb, queries, k=5, n_bands=1,
+                              bits_per_band=4, dim=64,
+                              max_bucket=None).collect()
+    }
+    banded = {
+        (r.query_id, r.neighbor_id)
+        for r in SIM.lsh_topk(emb, queries, k=5, n_bands=4,
+                              bits_per_band=4, dim=64,
+                              max_bucket=None).collect()
+    }
+    assert len(banded & exact) >= len(single & exact)
+
+
+def test_lsh_no_duplicate_pairs_across_bands(emb, queries):
+    """A (query, neighbor) sharing several band signatures must appear
+    exactly once — candidates are deduped before scoring."""
+    rows = SIM.lsh_topk(emb, queries, k=50, n_bands=8, bits_per_band=2,
+                        dim=64).collect()
+    seen = [(r.query_id, r.neighbor_id) for r in rows]
+    assert len(seen) == len(set(seen))

@@ -98,54 +98,85 @@ def lsh_signature(vec, n_planes: int, dim: int):
     return F.concat(*[hyperplane_sign(vec, p, dim) for p in range(n_planes)])
 
 
+def fit_ivf_centroids(corpus: DataFrame, n_cells: int = 16,
+                      seed: int = 42, train_cap: int = 100_000,
+                      train_fraction: float = 1.0, n_iter: int = 10,
+                      vec_col: str = "embedding") -> list:
+    """Fit the IVF coarse quantizer ONCE and return its centroids as a
+    plain ``list[list[float]]`` — the artifact callers persist and
+    reuse across ivf_topk invocations (refitting per query-batch burns
+    a full KMeans job each call for identical centroids).
+
+    Centroid quality needs only a sketch of the distribution, so the
+    fit runs driver-side over a bounded sample: ``sample(fraction)``
+    (pushed into the scan; set train_fraction ~ train_cap / n at
+    corpus scale) + ``limit(train_cap)`` — never a ``count()`` pass —
+    then seeded numpy Lloyd's on at most train_cap x dim doubles
+    (100k x 64 = 51 MB, a bounded driver read by construction, NOT a
+    corpus collect).  Deterministic: seeded init, argmin ties resolve
+    to the lowest cell, empty cells reseed to the farthest point."""
+    import numpy as np
+
+    sampled = corpus.select(
+        F.transform(vec_col, lambda x: x.cast("double")).alias("v")
+    )
+    if train_fraction < 1.0:
+        sampled = sampled.sample(False, train_fraction, seed)
+    rows = sampled.limit(train_cap).collect()
+    x = np.asarray([r.v for r in rows], dtype=np.float64)
+    if len(x) < n_cells:
+        raise ValueError(
+            f"training sample ({len(x)} rows) smaller than n_cells "
+            f"({n_cells}) — raise train_fraction or lower n_cells")
+    rng = np.random.default_rng(seed)
+    cents = x[rng.permutation(len(x))[:n_cells]].copy()
+    for _ in range(n_iter):
+        # ||x-c||^2 via the expansion — never materializes n x k x dim
+        d2 = ((x * x).sum(1)[:, None] + (cents * cents).sum(1)[None, :]
+              - 2.0 * (x @ cents.T))
+        assign = d2.argmin(1)
+        for j in range(n_cells):
+            members = x[assign == j]
+            if len(members):
+                cents[j] = members.mean(0)
+            else:  # empty cell: reseed to the globally farthest point
+                cents[j] = x[d2.min(1).argmax()]
+    return [c.tolist() for c in cents]
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              n_cells: int = 16, n_probe: int = 4, dim: int = 64,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             seed: int = 42, train_cap: int = 100_000) -> DataFrame:
-    """IVF (inverted-file) ANN: KMeans partitions the corpus into
-    n_cells Voronoi cells; each query scores only the n_probe nearest
-    cells.  The scale path when LSH recall is insufficient: expected
-    candidates = n * n_probe / n_cells, and the cell assignment is an
-    equi-join key exactly like the LSH signature.  Deterministic via
-    fixed seed; KMeans trains on a seeded sample capped at `train_cap`
-    rows (centroid quality needs only a sketch of the distribution —
-    fitting the full corpus at 100 TB would ship every vector through
-    the ML pipeline for no recall gain).  Returns (query_id,
-    neighbor_id, rank, score) like the exact path, so recall against
-    brute_force_topk is directly measurable; with n_probe == n_cells
-    every cell is probed and the result equals the exact top-k
-    regardless of centroid placement."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+             seed: int = 42, train_cap: int = 100_000,
+             centroids: list | None = None) -> DataFrame:
+    """IVF (inverted-file) ANN: a coarse quantizer partitions the
+    corpus into n_cells Voronoi cells; each query scores only the
+    n_probe nearest cells.  The scale path when LSH recall is
+    insufficient: expected candidates = n * n_probe / n_cells, and the
+    cell assignment is an equi-join key exactly like the LSH signature.
 
+    ``centroids`` is the prefit model from :func:`fit_ivf_centroids` —
+    pass it to reuse one fit across many query batches (the production
+    shape: fit once, persist the list, never refit in the query path).
+    When omitted, a fit runs inline for convenience.  Returns
+    (query_id, neighbor_id, rank, score) like the exact path, so recall
+    against brute_force_topk is directly measurable; with n_probe ==
+    n_cells every cell is probed and the result equals the exact top-k
+    regardless of centroid placement."""
     spark = corpus.sparkSession
-    n = corpus.count()
-    sampled = corpus
-    if n > train_cap:
-        sampled = corpus.sample(
-            withReplacement=False, fraction=min(1.0, 1.1 * train_cap / n),
-            seed=seed,
-        ).limit(train_cap)
-    train = sampled.select(
-        array_to_vector(
-            F.transform(vec_col, lambda x: x.cast("double"))
-        ).alias("features")
-    )
-    # cache for the fit only: every KMeans iteration re-reads its input,
-    # and the training set is bounded by train_cap rows by construction
-    train.persist()
-    try:
-        model = KMeans(k=n_cells, seed=seed, maxIter=10).fit(train)
-    finally:
-        train.unpersist()
+    if centroids is None:
+        centroids = fit_ivf_centroids(corpus, n_cells=n_cells, seed=seed,
+                                      train_cap=train_cap, vec_col=vec_col)
+    if len(centroids) != n_cells:
+        raise ValueError(f"centroids has {len(centroids)} cells, "
+                         f"expected n_cells={n_cells}")
 
     # centroids as a BROADCAST table, not unrolled literal expressions:
     # an n_cells x dim literal Column tree costs O(cells * dim) driver
     # plan-build time and blows up codegen, while a broadcast join of
     # n_cells tiny rows keeps the plan constant-size at ANY cell count
     cents = spark.createDataFrame(
-        [(i, [float(v) for v in c])
-         for i, c in enumerate(model.clusterCenters())],
+        [(i, [float(v) for v in c]) for i, c in enumerate(centroids)],
         "cell int, centroid array<double>",
     )
 
@@ -205,41 +236,79 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
-def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
-             n_planes: int = 4, dim: int = 64,
-             id_col: str = "vec_id", vec_col: str = "embedding",
-             max_bucket: int | None = None) -> DataFrame:
-    """ANN: score only same-signature candidates.  Equi-join on the
-    b-bit bucket replaces the cross join; expected candidate set is
-    n / 2^b per query.
-
-    `max_bucket` (optional) is the mega-cluster guard: when a signature
-    bucket holds more than max_bucket corpus vectors (a degenerate
-    near-duplicate cluster), only the max_bucket lowest-id members stay
-    candidates — deterministic, and recall on such clusters is
-    unaffected in practice because its members are near-identical.
-    Left off by default so the md5-replayable oracle sees the full
-    join; turn it on for skewed production corpora."""
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cvec"),
-        lsh_signature(F.col(vec_col), n_planes, dim).alias("sig"),
+def banded_signatures(df: DataFrame, out_id: str, n_bands: int,
+                      bits_per_band: int, dim: int,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """(out_id, band, sig): band b's signature is bits_per_band
+    hyperplane sign bits over global plane indices b*bits .. b*bits+
+    bits-1 — the same convention as dedup.embedding_cosine_dups, so
+    n_bands=1 reproduces the single-signature shape and oracles can
+    replay any configuration."""
+    bands = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat(*[
+                hyperplane_sign(F.col(vec_col),
+                                b * bits_per_band + j, dim)
+                for j in range(bits_per_band)
+            ]).alias("sig"),
+        )
+        for b in range(n_bands)
+    ])
+    return (
+        df.select(F.col(id_col).alias(out_id), F.explode(bands).alias("bs"))
+        .select(out_id, F.col("bs.band").alias("band"),
+                F.col("bs.sig").alias("sig"))
     )
+
+
+def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+             n_bands: int = 8, bits_per_band: int = 16, dim: int = 64,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             max_bucket: int | None = 1000) -> DataFrame:
+    """ANN: score only candidates sharing ANY band signature with the
+    query (banded random-hyperplane LSH).  Per band the equi-join on a
+    bits_per_band-bit bucket replaces the cross join — expected
+    candidates = n_bands * n / 2^bits per query — and recall comes from
+    the OR across bands, so each band affords enough bits to stay
+    selective (the production default 8x16 gives 65k buckets/band; a
+    single-band low-bit signature would need huge buckets for the same
+    recall).  Candidates are deduped to (query, neighbor) BEFORE the
+    vectors join back for scoring, so banding never re-scores a pair.
+
+    `max_bucket` (default ON — production corpora are skewed) is the
+    mega-cluster guard: when a band's bucket holds more than max_bucket
+    corpus vectors (a degenerate near-duplicate cluster), only the
+    max_bucket lowest-id members stay candidates — deterministic, and
+    recall on such clusters is unaffected in practice because its
+    members are near-identical.  Pass None for the exhaustive join
+    (e.g. the md5-replayable CORRECTNESS oracle, which pins n_bands=1 x
+    4 bits so DuckDB can replay the signature)."""
+    c = banded_signatures(corpus, "neighbor_id", n_bands, bits_per_band,
+                          dim, id_col, vec_col)
     if max_bucket is not None:
-        wb = Window.partitionBy("sig").orderBy(F.asc("neighbor_id"))
+        wb = Window.partitionBy("band", "sig").orderBy(F.asc("neighbor_id"))
         c = (
             c.withColumn("_bn", F.row_number().over(wb))
             .where(F.col("_bn") <= max_bucket)
             .drop("_bn")
         )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qvec"),
-        lsh_signature(F.col(vec_col), n_planes, dim).alias("sig"),
-    )
-    scored = (
-        c.join(F.broadcast(q), on="sig")
+    q = banded_signatures(queries, "query_id", n_bands, bits_per_band,
+                          dim, id_col, vec_col)
+    cand = (
+        c.join(F.broadcast(q), on=["band", "sig"])
         .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    cvecs = corpus.select(F.col(id_col).alias("neighbor_id"),
+                          F.col(vec_col).alias("cvec"))
+    qvecs = queries.select(F.col(id_col).alias("query_id"),
+                           F.col(vec_col).alias("qvec"))
+    scored = (
+        cand.join(cvecs, on="neighbor_id")
+        .join(F.broadcast(qvecs), on="query_id")
         .withColumn(
             "score",
             F.round(
