@@ -1398,6 +1398,55 @@ SELECT 'ok' AS status, count(*) AS cnt FROM documents ORDER BY status
 """
 
 
+def _q_docx_rich(spark, sf_dir):
+    """E3 pandoc-class DOCX richness: every document becomes a real
+    zipped .docx with numbering.xml lists (ordered + nested bullets),
+    rels-resolved hyperlinks, an anchor link and split bold/italic
+    runs; the converted Markdown is returned VERBATIM so the oracle's
+    rebuilt template is compared byte-for-byte via the value hash."""
+    import pyarrow as pa
+
+    from tool_documentsconverter_spark import kernels as K
+    from tool_documentsconverter_spark.sources.transcripts import (
+        make_rich_docx_bytes,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def conv(batches):
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            mds = [K.convert_docx_bytes(f"rd{i}", make_rich_docx_bytes(i))
+                   for i in ids]
+            yield pa.RecordBatch.from_pydict({
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "md": pa.array(mds, type=pa.string()),
+            })
+
+    return docs.mapInArrow(conv, "doc_id long, md string").orderBy("doc_id")
+
+
+# byte-exact rebuild of sources/transcripts.py:rich_docx_expected_md —
+# the full converted Markdown, list markers, nesting indents, emphasis
+# and link spans included
+_SQL_DOCX_RICH = """
+SELECT doc_id,
+       '# rd' || doc_id || chr(10) || chr(10)
+       || '# Rich doc ' || doc_id || chr(10) || chr(10)
+       || '1. Step one of ' || doc_id || chr(10)
+       || '2. Step two' || chr(10)
+       || '3. Step three' || chr(10)
+       || '- alpha ' || doc_id || chr(10)
+       || '    - beta nested' || chr(10)
+       || '- gamma' || chr(10) || chr(10)
+       || 'plain **bold ' || doc_id || '** mid *ital* ***both***'
+       || chr(10) || chr(10)
+       || 'See [**site ' || doc_id || '**](https://example.com/d'
+       || doc_id || ') and [jump](#sec1)' || chr(10) || chr(10) AS md
+FROM documents ORDER BY doc_id
+"""
+
+
 def _q_md_pdf_roundtrip(spark, sf_dir):
     """S8 sink consistency: wrap every document to Markdown, render the
     minimal deterministic PDF, re-extract the text with the repo's own
@@ -1580,6 +1629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ivf_ann,
         "media_features": _q_media_features,
         "md_pdf_roundtrip": _q_md_pdf_roundtrip,
+        "docx_rich": _q_docx_rich,
     }
 
 
@@ -1627,5 +1677,6 @@ def oracle_sql() -> dict[str, str]:
         "extract_dispatch": _SQL_EXTRACT_DISPATCH,
         "extract_binary_dispatch": _SQL_EXTRACT_BINARY,
         "md_pdf_roundtrip": _SQL_MD_PDF,
+        "docx_rich": _SQL_DOCX_RICH,
         "xlsx_sheet_csv": _SQL_XLSX,
     }

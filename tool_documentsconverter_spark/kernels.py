@@ -288,26 +288,214 @@ def heading_level(style_name: str) -> Optional[int]:
     return 1
 
 
-def _emit_docx(stem: str, has_body: bool, paras, tables, raw_texts) -> str:
-    """Markdown emission shared by the ET and fast-scanner parsers.
+# --------------------------------------------------------------------------
+# E3 — pandoc-class inline/list richness
+#
+# The reference's PRIMARY DOCX path is pandoc (doc_to_md/main.py:147-149,
+# docx_converter.py:37-63), which emits real Markdown structure: list
+# items, hyperlinks, bold/italic emphasis.  The python-docx fallback
+# surface (headings/paragraphs/quirk-tables) is reproduced above; the
+# walkers below close the structured gap pure-stdlib, with a documented
+# deterministic grammar (this engine's own, pandoc-flavored):
+#   unordered item  ->  "- text",    nested by 4 spaces per w:ilvl
+#   ordered item    ->  "N. text",   per-(numId, level) counters that
+#                                    reset when a shallower level advances
+#   hyperlink       ->  "[text](target)"  (r:id resolved via the rels
+#                        map; w:anchor -> "#anchor"; unresolvable -> text)
+#   bold/italic     ->  **t** / *t* / ***t***, adjacent same-format runs
+#                        merged first (Word splits runs arbitrarily),
+#                        edge whitespace moved OUTSIDE the markers
+# --------------------------------------------------------------------------
+_ORDERED_NUMFMTS = ("decimal", "lowerLetter", "upperLetter",
+                    "lowerRoman", "upperRoman", "ordinal")
 
-    paras: [(style_name, text)] body-level paragraphs in order;
+
+def _attr(el, name: str) -> Optional[str]:
+    for k, v in el.attrib.items():
+        if _local(k) == name:
+            return v
+    return None
+
+
+def _run_flags(r_elem) -> Tuple[bool, bool]:
+    """(bold, italic) of a w:r from its w:rPr — a bare <w:b/> is ON,
+    w:val='false'/'0'/'none' turns it off (OOXML toggle semantics)."""
+    bold = italic = False
+    for el in r_elem:
+        if _local(el.tag) != "rPr":
+            continue
+        for pr in el:
+            tag = _local(pr.tag)
+            if tag in ("b", "i"):
+                val = _attr(pr, "val")
+                on = val not in ("false", "0", "none")
+                if tag == "b":
+                    bold = on
+                else:
+                    italic = on
+    return bold, italic
+
+
+def _collect_spans(elem, rels: Optional[dict]) -> List[tuple]:
+    """Flatten a paragraph into inline parts, in document order:
+    ("span", text, bold, italic) | ("link", target, [span parts]).
+    Unknown containers recurse so every w:t is reached (the plain-text
+    twin _para_text uses iter(); outputs must agree when no formatting
+    or links are present)."""
+    parts: List[tuple] = []
+    for child in elem:
+        tag = _local(child.tag)
+        if tag == "r":
+            bold, italic = _run_flags(child)
+            text = "".join(t.text or "" for t in child.iter()
+                           if _local(t.tag) == "t")
+            if text:
+                parts.append(("span", text, bold, italic))
+        elif tag == "hyperlink":
+            inner = _collect_spans(child, rels)
+            rid = _attr(child, "id")
+            anchor = _attr(child, "anchor")
+            target = None
+            if rid and rels:
+                target = rels.get(rid)
+            if target is None and anchor:
+                target = f"#{anchor}"
+            if target is None:
+                parts.extend(inner)  # unresolvable: degrade to the text
+            else:
+                parts.append(("link", target, inner))
+        elif tag in ("pPr", "rPr"):
+            continue
+        else:  # smartTag / ins / field wrappers: recurse for the runs
+            parts.extend(_collect_spans(child, rels))
+    return parts
+
+
+def _merge_spans(parts: List[tuple]) -> List[tuple]:
+    """Merge ADJACENT spans with identical formatting: Word splits runs
+    at arbitrary points ('bol' + 'd', both bold) and naive emission
+    would produce '**bol****d**'."""
+    out: List[tuple] = []
+    for p in parts:
+        if (p[0] == "span" and out and out[-1][0] == "span"
+                and out[-1][2:] == p[2:]):
+            out[-1] = ("span", out[-1][1] + p[1], p[2], p[3])
+        else:
+            out.append(p)
+    return out
+
+
+def _emit_span(text: str, bold: bool, italic: bool) -> str:
+    if not (bold or italic) or not text.strip():
+        return text
+    lead = text[:len(text) - len(text.lstrip())]
+    trail = text[len(text.rstrip()):]
+    marker = "***" if bold and italic else ("**" if bold else "*")
+    return f"{lead}{marker}{text.strip()}{marker}{trail}"
+
+
+def _emit_inline(parts: List[tuple]) -> str:
+    out: List[str] = []
+    for p in _merge_spans(parts):
+        if p[0] == "span":
+            out.append(_emit_span(p[1], p[2], p[3]))
+        else:  # link
+            inner = _emit_inline(p[2])
+            out.append(f"[{inner}]({p[1]})")
+    return "".join(out)
+
+
+def _para_inline_md(p_elem, rels: Optional[dict]) -> str:
+    """Inline Markdown of a paragraph's runs (emphasis + links).
+    Byte-identical to _para_text for paragraphs without formatting."""
+    return _emit_inline(_collect_spans(p_elem, rels))
+
+
+def _para_numpr(p_elem) -> Optional[Tuple[str, int]]:
+    """(numId, ilvl) when the paragraph is a list item (w:pPr/w:numPr),
+    else None."""
+    for pr in p_elem:
+        if _local(pr.tag) != "pPr":
+            continue
+        for el in pr:
+            if _local(el.tag) != "numPr":
+                continue
+            num_id, ilvl = None, 0
+            for n in el:
+                tag = _local(n.tag)
+                if tag == "numId":
+                    num_id = _attr(n, "val")
+                elif tag == "ilvl":
+                    try:
+                        ilvl = int(_attr(n, "val") or 0)
+                    except ValueError:
+                        ilvl = 0
+            if num_id is not None:
+                return num_id, ilvl
+    return None
+
+
+def _emit_docx(stem: str, has_body: bool, blocks, tables, raw_texts,
+               numbering: Optional[dict] = None) -> str:
+    """Markdown emission over parsed body blocks.
+
+    blocks: [("p", style_name, inline_md)] paragraphs and
+            [("li", num_id, ilvl, inline_md)] list items, in order;
     tables: [[[cell_text, ...], ...]] body-level tables in order;
-    raw_texts: every w:t text when there is no body (E6 fallback)."""
+    raw_texts: every w:t text when there is no body (E6 fallback);
+    numbering: {numId: {ilvl: numFmt}} from numbering.xml — absent
+    entries default to bullet.
+
+    List grammar (module comment above _ORDERED_NUMFMTS): one line per
+    item, 4-space indent per level, '-' bullets, 'N.' ordered markers
+    with per-(numId, level) counters that reset every time a shallower
+    level of the same numId advances; a blank line closes each list
+    block, so paragraphs keep their '\\n\\n' rhythm.  Blank items are
+    dropped like blank paragraphs (docx_converter.py:75-77) and a
+    DROPPED blank paragraph never splits a list."""
     out = [f"# {stem}\n\n"]
     if not has_body:
         # E6 raw fallback: every }t text (docx_converter.py:168-176)
         out.append("\n".join(raw_texts))
         return "".join(out)
-    for style, text in paras:
-        text = text.strip()
-        if not text:  # blank-paragraph drop (docx_converter.py:75-77)
-            continue
-        lvl = heading_level(style)
-        if lvl is not None:
-            out.append(f"{'#' * lvl} {text}\n\n")
+    counters: dict = {}
+    in_list = False
+    for blk in blocks:
+        if blk[0] == "p":
+            _, style, text = blk
+            text = text.strip()
+            if not text:  # blank-paragraph drop (docx_converter.py:75-77)
+                continue
+            if in_list:  # a real paragraph ends the open list block
+                out.append("\n")
+                in_list = False
+            lvl = heading_level(style)
+            if lvl is not None:
+                out.append(f"{'#' * lvl} {text}\n\n")
+            else:
+                out.append(f"{text}\n\n")
         else:
-            out.append(f"{text}\n\n")
+            _, num_id, ilvl, text = blk
+            text = text.strip()
+            if not text:  # blank items drop like blank paragraphs
+                continue
+            fmt = "bullet"
+            if numbering:
+                fmt = numbering.get(num_id, {}).get(ilvl, "bullet")
+            # any item at this level restarts its numId's deeper counters
+            for k in [k for k in counters
+                      if k[0] == num_id and k[1] > ilvl]:
+                del counters[k]
+            if fmt in _ORDERED_NUMFMTS:
+                key = (num_id, ilvl)
+                counters[key] = counters.get(key, 0) + 1
+                marker = f"{counters[key]}."
+            else:
+                marker = "-"
+            out.append(f"{'    ' * ilvl}{marker} {text}\n")
+            in_list = True
+    if in_list:
+        out.append("\n")
     for rows in tables:  # tables AFTER all paragraphs (docx_converter.py:89-96)
         out.append("\n|")
         for cells in rows:
@@ -317,8 +505,10 @@ def _emit_docx(stem: str, has_body: bool, paras, tables, raw_texts) -> str:
     return "".join(out)
 
 
-def _et_docx_parse(payload: str, style_map: Optional[dict] = None):
-    """Reference parser: ElementTree walk (the canonical semantics)."""
+def _et_docx_parse(payload: str, style_map: Optional[dict] = None,
+                   rels: Optional[dict] = None):
+    """Reference parser: ElementTree walk (the canonical semantics).
+    Returns (has_body, blocks, tables, raw_texts) — see _emit_docx."""
     root = ET.fromstring(payload)
     body = None
     for child in root:
@@ -332,12 +522,17 @@ def _et_docx_parse(payload: str, style_map: Optional[dict] = None):
                if _local(el.tag) == "t" and el.text]
         return False, [], [], raw
 
-    paras: List[tuple] = []
+    blocks: List[tuple] = []
     tables: List[List[List[str]]] = []
     for child in body:
         tag = _local(child.tag)
         if tag == "p":
-            paras.append((_para_style(child, style_map), _para_text(child)))
+            numpr = _para_numpr(child)
+            text = _para_inline_md(child, rels)
+            if numpr is not None:
+                blocks.append(("li", numpr[0], numpr[1], text))
+            else:
+                blocks.append(("p", _para_style(child, style_map), text))
         elif tag == "tbl":
             rows = []
             for tr in child:
@@ -354,11 +549,13 @@ def _et_docx_parse(payload: str, style_map: Optional[dict] = None):
                     cells.append("\n".join(ptexts))
                 rows.append(cells)
             tables.append(rows)
-    return True, paras, tables, []
+    return True, blocks, tables, []
 
 
 def convert_docx_xml(stem: str, payload: str,
-                     style_map: Optional[dict] = None) -> str:
+                     style_map: Optional[dict] = None,
+                     rels: Optional[dict] = None,
+                     numbering: Optional[dict] = None) -> str:
     """DOCX conversion over the raw OOXML ``word/document.xml`` string.
 
     Primary path replicates the python-docx walk of the reference
@@ -370,14 +567,80 @@ def convert_docx_xml(stem: str, payload: str,
     trailing — deliberately no GFM header-separator row (byte-equality
     over beauty).
 
+    On top of that fallback surface, the pandoc-class richness of the
+    reference's PRIMARY path (docx_converter.py:37-63: pandoc emits
+    lists, links, emphasis) is reproduced structurally: w:numPr
+    paragraphs become Markdown list items (``numbering`` resolves
+    numId/ilvl -> numFmt; bullet when absent), w:hyperlink becomes
+    ``[text](target)`` (``rels`` resolves r:id; w:anchor -> #anchor),
+    and bold/italic runs become **/*/*** spans — grammar documented at
+    _ORDERED_NUMFMTS.  Paragraphs using none of these emit
+    byte-identically to the plain walk.
+
     If the document has no ``w:body`` (bare runs), fall back to the
     reference's raw-XML extraction (docx_converter.py:144-178): every
     ``*}t`` element's text joined with ``\\n``, same title prefix,
     no trailing newline (:174-176).
 
     """
-    has_body, paras, tables, raw = _et_docx_parse(payload, style_map)
-    return _emit_docx(stem, has_body, paras, tables, raw)
+    has_body, blocks, tables, raw = _et_docx_parse(payload, style_map, rels)
+    return _emit_docx(stem, has_body, blocks, tables, raw, numbering)
+
+
+def docx_rels_map(zf: "zipfile.ZipFile") -> dict:
+    """rId -> Target from word/_rels/document.xml.rels — the hyperlink
+    resolution pandoc applies for [text](url) emission."""
+    mapping: dict = {}
+    name = "word/_rels/document.xml.rels"
+    if name not in zf.namelist():
+        return mapping
+    root = ET.fromstring(zf.read(name))
+    for rel in root:
+        if _local(rel.tag) != "Relationship":
+            continue
+        rid = rel.attrib.get("Id")
+        target = rel.attrib.get("Target")
+        if rid and target:
+            mapping[rid] = target
+    return mapping
+
+
+def docx_numbering_map(zf: "zipfile.ZipFile") -> dict:
+    """{numId: {ilvl: numFmt}} from word/numbering.xml: w:num maps
+    numId -> abstractNumId; w:abstractNum carries per-level w:numFmt
+    ('bullet', 'decimal', ...) — the two-hop resolution Word (and
+    pandoc) applies to decide list markers."""
+    name = "word/numbering.xml"
+    if name not in zf.namelist():
+        return {}
+    root = ET.fromstring(zf.read(name))
+    abstract: dict = {}
+    num_to_abs: dict = {}
+    for el in root:
+        tag = _local(el.tag)
+        if tag == "abstractNum":
+            aid = _attr(el, "abstractNumId")
+            levels: dict = {}
+            for lvl in el:
+                if _local(lvl.tag) != "lvl":
+                    continue
+                ilvl = _attr(lvl, "ilvl")
+                fmt = None
+                for pr in lvl:
+                    if _local(pr.tag) == "numFmt":
+                        fmt = _attr(pr, "val")
+                        break
+                if ilvl is not None and fmt:
+                    levels[int(ilvl)] = fmt
+            if aid is not None:
+                abstract[aid] = levels
+        elif tag == "num":
+            nid = _attr(el, "numId")
+            for ref in el:
+                if _local(ref.tag) == "abstractNumId":
+                    num_to_abs[nid] = _attr(ref, "val")
+                    break
+    return {nid: abstract.get(aid, {}) for nid, aid in num_to_abs.items()}
 
 
 def docx_style_map(zf: "zipfile.ZipFile") -> dict:
@@ -406,15 +669,19 @@ def docx_style_map(zf: "zipfile.ZipFile") -> dict:
 
 def convert_docx_bytes(stem: str, payload: bytes) -> str:
     """Real binary .docx: ZIP -> word/document.xml (+ styles.xml for
-    styleId->name), then the same DOM walk as the string path.  Mirrors
-    the reference's raw-ZIP handling (docx_converter.py:150-161) with
-    the python-docx E4/E5 semantics on top."""
+    styleId->name, document.xml.rels for hyperlink targets,
+    numbering.xml for list formats), then the same DOM walk as the
+    string path.  Mirrors the reference's raw-ZIP handling
+    (docx_converter.py:150-161) with the python-docx E4/E5 semantics
+    plus the pandoc-class list/link/emphasis richness on top."""
     zf = zipfile.ZipFile(io.BytesIO(payload))
     if "word/document.xml" not in zf.namelist():
         raise ValueError("not a DOCX: word/document.xml missing")
     styles = docx_style_map(zf)
     return convert_docx_xml(
-        stem, zf.read("word/document.xml").decode("utf-8"), style_map=styles
+        stem, zf.read("word/document.xml").decode("utf-8"),
+        style_map=styles, rels=docx_rels_map(zf),
+        numbering=docx_numbering_map(zf),
     )
 
 

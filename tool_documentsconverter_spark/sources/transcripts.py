@@ -97,6 +97,110 @@ _HTML = (
 )
 
 
+_RELS_NS = ('xmlns:r="http://schemas.openxmlformats.org/officeDocument'
+            '/2006/relationships"')
+_W_NS = ('xmlns:w="http://schemas.openxmlformats.org/wordprocessingml'
+         '/2006/main"')
+
+
+def make_rich_docx_bytes(i: int) -> bytes:
+    """A real zipped .docx exercising the pandoc-class richness path
+    (kernels E3): numbering.xml-resolved ordered + nested bullet lists,
+    rels-resolved hyperlinks, an anchor link, and bold/italic runs
+    split mid-word (the run-merge case).  Deterministic function of i
+    so the DuckDB oracle can predict the converted Markdown
+    byte-for-byte (the docx_rich CORRECTNESS query)."""
+    import io
+    import zipfile
+
+    document = (
+        '<?xml version="1.0"?>'
+        f"<w:document {_W_NS} {_RELS_NS}><w:body>"
+        '<w:p><w:pPr><w:pStyle w:val="Heading1"/></w:pPr>'
+        f"<w:r><w:t>Rich doc {i}</w:t></w:r></w:p>"
+        '<w:p><w:pPr><w:numPr><w:ilvl w:val="0"/><w:numId w:val="1"/>'
+        f"</w:numPr></w:pPr><w:r><w:t>Step one of {i}</w:t></w:r></w:p>"
+        '<w:p><w:pPr><w:numPr><w:ilvl w:val="0"/><w:numId w:val="1"/>'
+        "</w:numPr></w:pPr><w:r><w:t>Step two</w:t></w:r></w:p>"
+        '<w:p><w:pPr><w:numPr><w:ilvl w:val="0"/><w:numId w:val="1"/>'
+        "</w:numPr></w:pPr><w:r><w:t>Step three</w:t></w:r></w:p>"
+        '<w:p><w:pPr><w:numPr><w:ilvl w:val="0"/><w:numId w:val="2"/>'
+        f"</w:numPr></w:pPr><w:r><w:t>alpha {i}</w:t></w:r></w:p>"
+        '<w:p><w:pPr><w:numPr><w:ilvl w:val="1"/><w:numId w:val="2"/>'
+        "</w:numPr></w:pPr><w:r><w:t>beta nested</w:t></w:r></w:p>"
+        '<w:p><w:pPr><w:numPr><w:ilvl w:val="0"/><w:numId w:val="2"/>'
+        "</w:numPr></w:pPr><w:r><w:t>gamma</w:t></w:r></w:p>"
+        "<w:p><w:r><w:t>plain </w:t></w:r>"
+        "<w:r><w:rPr><w:b/></w:rPr><w:t>bo</w:t></w:r>"
+        f"<w:r><w:rPr><w:b/></w:rPr><w:t>ld {i}</w:t></w:r>"
+        "<w:r><w:t> mid </w:t></w:r>"
+        "<w:r><w:rPr><w:i/></w:rPr><w:t>ital</w:t></w:r>"
+        "<w:r><w:t> </w:t></w:r>"
+        "<w:r><w:rPr><w:b/><w:i/></w:rPr><w:t>both</w:t></w:r></w:p>"
+        "<w:p><w:r><w:t>See </w:t></w:r>"
+        '<w:hyperlink r:id="rId9"><w:r><w:rPr><w:b/></w:rPr>'
+        f"<w:t>site {i}</w:t></w:r></w:hyperlink>"
+        "<w:r><w:t> and </w:t></w:r>"
+        '<w:hyperlink w:anchor="sec1"><w:r><w:t>jump</w:t></w:r>'
+        "</w:hyperlink></w:p>"
+        "</w:body></w:document>"
+    )
+    styles = (
+        '<?xml version="1.0"?>'
+        f"<w:styles {_W_NS}>"
+        '<w:style w:type="paragraph" w:styleId="Heading1">'
+        '<w:name w:val="Heading 1"/></w:style></w:styles>'
+    )
+    numbering = (
+        '<?xml version="1.0"?>'
+        f"<w:numbering {_W_NS}>"
+        '<w:abstractNum w:abstractNumId="0">'
+        '<w:lvl w:ilvl="0"><w:numFmt w:val="decimal"/></w:lvl>'
+        "</w:abstractNum>"
+        '<w:abstractNum w:abstractNumId="1">'
+        '<w:lvl w:ilvl="0"><w:numFmt w:val="bullet"/></w:lvl>'
+        '<w:lvl w:ilvl="1"><w:numFmt w:val="bullet"/></w:lvl>'
+        "</w:abstractNum>"
+        '<w:num w:numId="1"><w:abstractNumId w:val="0"/></w:num>'
+        '<w:num w:numId="2"><w:abstractNumId w:val="1"/></w:num>'
+        "</w:numbering>"
+    )
+    rels = (
+        '<?xml version="1.0"?>'
+        "<Relationships "
+        'xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        f'<Relationship Id="rId9" Target="https://example.com/d{i}" '
+        'Type="http://schemas.openxmlformats.org/officeDocument/2006/'
+        'relationships/hyperlink" TargetMode="External"/>'
+        "</Relationships>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("word/document.xml", document)
+        z.writestr("word/styles.xml", styles)
+        z.writestr("word/numbering.xml", numbering)
+        z.writestr("word/_rels/document.xml.rels", rels)
+    return buf.getvalue()
+
+
+def rich_docx_expected_md(stem: str, i: int) -> str:
+    """The byte-exact Markdown make_rich_docx_bytes(i) must convert to
+    — the pytest golden AND the template the SQL oracle rebuilds."""
+    return (
+        f"# {stem}\n\n"
+        f"# Rich doc {i}\n\n"
+        f"1. Step one of {i}\n"
+        "2. Step two\n"
+        "3. Step three\n"
+        f"- alpha {i}\n"
+        "    - beta nested\n"
+        "- gamma\n"
+        "\n"
+        f"plain **bold {i}** mid *ital* ***both***\n\n"
+        f"See [**site {i}**](https://example.com/d{i}) and [jump](#sec1)\n\n"
+    )
+
+
 def make_pdf(i: int) -> str:
     """Minimal 2-page uncompressed PDF text (string form)."""
     s1 = f"BT /F1 12 Tf 72 720 Td (Page one line {i}) Tj T* (second \\(escaped\\) line) Tj ET"
