@@ -1447,6 +1447,44 @@ FROM documents ORDER BY doc_id
 """
 
 
+def _q_pdf_layout(spark, sf_dir):
+    """Marker-class reading order: every document becomes a two-column
+    PDF whose stream writes the RIGHT column first; the extracted text
+    must come out in reading order (y desc, x asc), compared verbatim
+    against the oracle's rebuilt template."""
+    import pyarrow as pa
+
+    from tool_documentsconverter_spark import kernels as K
+    from tool_documentsconverter_spark.sources.transcripts import (
+        make_two_column_pdf,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def conv(batches):
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            texts = [K.extract_pdf_text(make_two_column_pdf(i)) for i in ids]
+            yield pa.RecordBatch.from_pydict({
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "text": pa.array(texts, type=pa.string()),
+            })
+
+    return docs.mapInArrow(conv, "doc_id long, text string").orderBy("doc_id")
+
+
+# byte-exact rebuild of the reading-ordered extraction of
+# sources/transcripts.py:make_two_column_pdf (stream order is right
+# column first; reading order interleaves rows left-to-right)
+_SQL_PDF_LAYOUT = """
+SELECT doc_id,
+       'Left top ' || doc_id || chr(10)
+       || 'Right top ' || doc_id || chr(10)
+       || 'Left bottom' || chr(10) || 'Right bottom' AS text
+FROM documents ORDER BY doc_id
+"""
+
+
 def _q_md_pdf_roundtrip(spark, sf_dir):
     """S8 sink consistency: wrap every document to Markdown, render the
     minimal deterministic PDF, re-extract the text with the repo's own
@@ -1630,6 +1668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": _q_media_features,
         "md_pdf_roundtrip": _q_md_pdf_roundtrip,
         "docx_rich": _q_docx_rich,
+        "pdf_layout": _q_pdf_layout,
     }
 
 
@@ -1678,5 +1717,6 @@ def oracle_sql() -> dict[str, str]:
         "extract_binary_dispatch": _SQL_EXTRACT_BINARY,
         "md_pdf_roundtrip": _SQL_MD_PDF,
         "docx_rich": _SQL_DOCX_RICH,
+        "pdf_layout": _SQL_PDF_LAYOUT,
         "xlsx_sheet_csv": _SQL_XLSX,
     }

@@ -132,6 +132,20 @@ _PDF_TJ_ARRAY_RE = re.compile(r"\[(.*?)\]\s*TJ", re.DOTALL)
 _PDF_TEXTOP_RE = re.compile(
     r"\[(.*?)\]\s*TJ|\((?:[^()\\]|\\.)*\)\s*Tj", re.DOTALL
 )
+_NUM = r"-?(?:\d+\.?\d*|\.\d+)"
+# text-showing ops PLUS the positioning operators that drive reading
+# order: Td/TD (line translate), Tm (set matrix; e,f = x,y), TL
+# (leading), T* (next line), BT (reset text matrix)
+_PDF_LAYOUT_RE = re.compile(
+    r"\[(?P<tj>.*?)\]\s*TJ"
+    r"|(?P<tjlit>\((?:[^()\\]|\\.)*\))\s*Tj"
+    rf"|(?P<tdx>{_NUM})\s+(?P<tdy>{_NUM})\s+(?P<td>Td|TD)"
+    rf"|(?P<tm>(?:{_NUM}\s+){{5}}{_NUM})\s+Tm"
+    rf"|(?P<tl>{_NUM})\s+TL"
+    r"|(?P<tstar>T\*)"
+    r"|(?P<bt>BT)",
+    re.DOTALL,
+)
 _PDFMINER = None  # one-shot import probe cache (None=unprobed, False=absent)
 
 
@@ -195,14 +209,24 @@ def extract_pdf_text(payload: str) -> str:
     """Text extraction from a (simple, uncompressed) PDF byte-stream.
 
     The reference delegates to ``pdfminer.high_level.extract_text``
-    (doc_to_md/pdf_converter.py:25-27).  pdfminer is not installed in
-    this sandbox, so when an import-try fails we fall back to a
-    deterministic pure-stdlib extractor for the uncompressed PDFs our
-    fixtures generate: per content stream, each text-showing op
-    (``(..) Tj`` / ``[..] TJ``) contributes one line; lines joined with
-    ``\\n``; streams (pages) joined with ``\\n\\n``.  At production
-    scale with pdfminer installed, the pdfminer path is used and the
-    fixtures are regenerated against it (SURVEY.md §7 hard-part (a)).
+    (doc_to_md/pdf_converter.py:25-27), and its priority-1 tool is
+    marker (doc_to_md/main.py:124-143, config.yaml priority list) —
+    both produce LAYOUT-ordered text, not stream-ordered text.
+    pdfminer is not installed in this sandbox, so when an import-try
+    fails we fall back to a deterministic pure-stdlib extractor for
+    uncompressed PDFs that reproduces the layout intent: per content
+    stream, the text matrix is tracked through the positioning
+    operators (``Td``/``TD`` translate, ``Tm`` set, ``TL`` leading,
+    ``T*`` next-line, ``BT`` reset), and every text-showing op
+    (``(..) Tj`` / ``[..] TJ``) is emitted as one line in READING
+    order — top-to-bottom (y desc), left-to-right (x asc), stream
+    order as the stable tie-break — so a page whose stream writes the
+    right column before the left still reads correctly.  Lines joined
+    with ``\\n``; streams (pages) joined with ``\\n\\n``.  Rotation
+    and column-first (newspaper) segmentation are out of scope —
+    documented limitation; at production scale with pdfminer installed
+    the real-library path is used and the fixtures are regenerated
+    against it (SURVEY.md §7 hard-part (a)).
     """
     global _PDFMINER
     if _PDFMINER is None:  # probe the real library exactly once
@@ -217,14 +241,36 @@ def extract_pdf_text(payload: str) -> str:
     pages: List[str] = []
     for m in _PDF_STREAM_RE.finditer(payload):
         chunk = m.group(1)
-        lines: List[str] = []
-        for op in _PDF_TEXTOP_RE.finditer(chunk):
-            arr = op.group(1)
-            parts = _pdf_paren_strings(arr if arr is not None else op.group(0))
-            if parts:
-                lines.append("".join(parts) if arr is not None else parts[0])
-        if lines:
-            pages.append("\n".join(lines))
+        ops: List[tuple] = []  # (y, x, seq, text)
+        x = y = tl = 0.0
+        seq = 0
+        for t in _PDF_LAYOUT_RE.finditer(chunk):
+            if t.group("tj") is not None or t.group("tjlit") is not None:
+                arr = t.group("tj")
+                parts = _pdf_paren_strings(
+                    arr if arr is not None else t.group("tjlit"))
+                if parts:
+                    text = "".join(parts) if arr is not None else parts[0]
+                    ops.append((y, x, seq, text))
+                    seq += 1
+            elif t.group("td") is not None:
+                x += float(t.group("tdx"))
+                ty = float(t.group("tdy"))
+                y += ty
+                if t.group("td") == "TD":  # TD also sets leading = -ty
+                    tl = -ty
+            elif t.group("tm") is not None:
+                nums = t.group("tm").split()
+                x, y = float(nums[4]), float(nums[5])
+            elif t.group("tl") is not None:
+                tl = float(t.group("tl"))
+            elif t.group("tstar") is not None:
+                y -= tl
+            elif t.group("bt") is not None:
+                x = y = 0.0  # BT resets the text matrix; TL persists
+        if ops:
+            ops.sort(key=lambda o: (-o[0], o[1], o[2]))
+            pages.append("\n".join(o[3] for o in ops))
     return "\n\n".join(pages)
 
 

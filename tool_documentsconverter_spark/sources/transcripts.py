@@ -201,6 +201,24 @@ def rich_docx_expected_md(stem: str, i: int) -> str:
     )
 
 
+def make_two_column_pdf(i: int) -> str:
+    """A one-page PDF whose content stream writes the RIGHT column
+    (x=306) before the LEFT (x=72): stream order deliberately
+    disagrees with reading order.  extract_pdf_text's layout sort
+    (y desc, x asc) must emit
+    'Left top {i}\\nRight top {i}\\nLeft bottom\\nRight bottom'."""
+    s = (
+        f"BT /F1 11 Tf 306 720 Td 14 TL (Right top {i}) Tj T* "
+        "(Right bottom) Tj ET "
+        f"BT 72 720 Td 14 TL (Left top {i}) Tj T* (Left bottom) Tj ET"
+    )
+    return (
+        "%PDF-1.4\n"
+        f"1 0 obj << /Length {len(s)} >>\nstream\n{s}\nendstream\nendobj\n"
+        "%%EOF\n"
+    )
+
+
 def make_pdf(i: int) -> str:
     """Minimal 2-page uncompressed PDF text (string form)."""
     s1 = f"BT /F1 12 Tf 72 720 Td (Page one line {i}) Tj T* (second \\(escaped\\) line) Tj ET"
