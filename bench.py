@@ -78,11 +78,13 @@ def main() -> None:
     qs = E.queries()
     for name in [
         "transcript_flagship", "text_wrap_md", "tpch_q1", "revenue_topk",
-        "broadcast_dim_join", "events_json", "dedup_exact",
+        "broadcast_dim_join", "events_json", "asof_join", "dedup_exact",
         "minhash_lsh_pairs", "simhash", "embedding_cosine_dups",
-        "textstats", "lang_id",
+        "dup_clusters", "textstats", "lang_id",
+        "gopher_quality", "text_normalize_scrub",
         "ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk",
         "corpus_curation", "xlsx_sheet_csv",
+        "md_pdf_roundtrip", "docx_rich", "pdf_layout",
     ]:
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, SF_DIR).count())
