@@ -132,15 +132,20 @@ _PDF_TJ_ARRAY_RE = re.compile(r"\[(.*?)\]\s*TJ", re.DOTALL)
 _PDF_TEXTOP_RE = re.compile(
     r"\[(.*?)\]\s*TJ|\((?:[^()\\]|\\.)*\)\s*Tj", re.DOTALL
 )
-_NUM = r"-?(?:\d+\.?\d*|\.\d+)"
+_NUM = r"-?[0-9.]+"
 # text-showing ops PLUS the positioning operators that drive reading
 # order: Td/TD (line translate), Tm (set matrix; e,f = x,y), TL
-# (leading), T* (next line), BT (reset text matrix)
+# (leading), T* (next line), BT (reset text matrix).  Branch order and
+# shape tuned for scan speed (this regex runs on every PDF turn):
+# string literals first (they consume the most characters), loose
+# number class (floats only need ordering, not validation), and the
+# dispatch in extract_pdf_text reads match.lastgroup once instead of
+# probing every named group.
 _PDF_LAYOUT_RE = re.compile(
-    r"\[(?P<tj>.*?)\]\s*TJ"
-    r"|(?P<tjlit>\((?:[^()\\]|\\.)*\))\s*Tj"
+    r"\((?P<tjlit>(?:[^()\\]|\\.)*)\)\s*Tj"
+    r"|\[(?P<tj>.*?)\]\s*TJ"
     rf"|(?P<tdx>{_NUM})\s+(?P<tdy>{_NUM})\s+(?P<td>Td|TD)"
-    rf"|(?P<tm>(?:{_NUM}\s+){{5}}{_NUM})\s+Tm"
+    rf"|(?P<tm>{_NUM}(?:\s+{_NUM}){{5}})\s+Tm"
     rf"|(?P<tl>{_NUM})\s+TL"
     r"|(?P<tstar>T\*)"
     r"|(?P<bt>BT)",
@@ -245,28 +250,32 @@ def extract_pdf_text(payload: str) -> str:
         x = y = tl = 0.0
         seq = 0
         for t in _PDF_LAYOUT_RE.finditer(chunk):
-            if t.group("tj") is not None or t.group("tjlit") is not None:
-                arr = t.group("tj")
-                parts = _pdf_paren_strings(
-                    arr if arr is not None else t.group("tjlit"))
+            g = t.lastgroup
+            if g == "tjlit":
+                text = t.group("tjlit")
+                if "\\" in text:
+                    text = _pdf_unescape(text)
+                ops.append((y, x, seq, text))
+                seq += 1
+            elif g == "tj":
+                parts = _pdf_paren_strings(t.group("tj"))
                 if parts:
-                    text = "".join(parts) if arr is not None else parts[0]
-                    ops.append((y, x, seq, text))
+                    ops.append((y, x, seq, "".join(parts)))
                     seq += 1
-            elif t.group("td") is not None:
+            elif g == "td":
                 x += float(t.group("tdx"))
                 ty = float(t.group("tdy"))
                 y += ty
                 if t.group("td") == "TD":  # TD also sets leading = -ty
                     tl = -ty
-            elif t.group("tm") is not None:
+            elif g == "tm":
                 nums = t.group("tm").split()
                 x, y = float(nums[4]), float(nums[5])
-            elif t.group("tl") is not None:
+            elif g == "tl":
                 tl = float(t.group("tl"))
-            elif t.group("tstar") is not None:
+            elif g == "tstar":
                 y -= tl
-            elif t.group("bt") is not None:
+            elif g == "bt":
                 x = y = 0.0  # BT resets the text matrix; TL persists
         if ops:
             ops.sort(key=lambda o: (-o[0], o[1], o[2]))
