@@ -100,22 +100,22 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     exact_dedup_keys; the guard keeps worst-case output at
     n_buckets * max_bucket^2 instead of m^2.
 
-    Guard cost: one groupBy over the tiny (band, minhash) signature
-    table (map-side combinable) to find the OVERSIZED buckets — rare by
-    construction — then a broadcast ``left_anti`` against that
-    blacklist.  Joining the blacklist (a handful of rows) instead of
-    inner-joining the full keep-list keeps the guard at near-zero
-    shuffle cost: the signature table is never re-shuffled, only
-    hash-probed against a broadcast set."""
+    Guard cost: a window count over (band, minhash) + filter — ONE
+    pass over the signature table, no second computation of the
+    signature pipeline and no join.  The window's shuffle partitions
+    by exactly the keys the self-join below needs, so the exchange is
+    shared (ReusedExchange) rather than paid again; a separate
+    blacklist groupBy would recompute the shingle explode from the
+    scan for each consumer."""
+    from pyspark.sql import Window
+
     sig = minhash_signatures(df, id_col, text_col, n_bands, k)
-    oversized = (
-        sig.groupBy("band", "minhash")
-        .agg(F.count(F.lit(1)).alias("bucket_n"))
-        .where(F.col("bucket_n") > max_bucket)
-        .select("band", "minhash")
+    wb = Window.partitionBy("band", "minhash")
+    bounded = (
+        sig.withColumn("_bucket_n", F.count(F.lit(1)).over(wb))
+        .where(F.col("_bucket_n") <= max_bucket)
+        .drop("_bucket_n")
     )
-    bounded = sig.join(F.broadcast(oversized), on=["band", "minhash"],
-                       how="left_anti")
     a = bounded.select(F.col(id_col).alias("id_a"), "band", "minhash")
     b = bounded.select(F.col(id_col).alias("id_b"), "band", "minhash")
     return (
@@ -290,8 +290,8 @@ def embedding_cosine_dups(df: DataFrame, id_col: str, text_col: str,
        per-bucket self-join stays linear when bits is sized to the
        corpus (12 bits = 4096 buckets per band; raise for larger n).
      - the mega-cluster guard excludes buckets above ``max_bucket``
-       members via a broadcast left_anti against the (tiny) oversized-
-       bucket blacklist, exactly like minhash_lsh_pairs — a single
+       members via a window count + filter in the same shuffle the
+       self-join uses, exactly like minhash_lsh_pairs — a single
        boilerplate cluster can no longer go quadratic.
      - candidates are deduped to (id_a, id_b) BEFORE scoring, then the
        16-dim vectors join back by id; the banded explode never carries
@@ -318,14 +318,16 @@ def embedding_cosine_dups(df: DataFrame, id_col: str, text_col: str,
         .select(id_col, F.col("bs.band").alias("band"),
                 F.col("bs.sig").alias("sig"))
     )
-    oversized = (
-        sigb.groupBy("band", "sig")
-        .agg(F.count(F.lit(1)).alias("bucket_n"))
-        .where(F.col("bucket_n") > max_bucket)
-        .select("band", "sig")
+    # window count + filter: one pass, one shuffle on exactly the
+    # self-join keys below (shared exchange) — see minhash_lsh_pairs
+    from pyspark.sql import Window
+
+    wb = Window.partitionBy("band", "sig")
+    bounded = (
+        sigb.withColumn("_bucket_n", F.count(F.lit(1)).over(wb))
+        .where(F.col("_bucket_n") <= max_bucket)
+        .drop("_bucket_n")
     )
-    bounded = sigb.join(F.broadcast(oversized), on=["band", "sig"],
-                        how="left_anti")
     a = bounded.select(F.col(id_col).alias("id_a"), "band", "sig")
     b = bounded.select(F.col(id_col).alias("id_b"), "band", "sig")
     cand = (
