@@ -593,6 +593,97 @@ ORDER BY p.event_id
 """
 
 
+def _q_range_join(spark, sf_dir):
+    """Range join (bucketed interval join): every `error` event opens a
+    5-minute incident window for its user; count/summarize ALL events
+    of that user inside the window.  The operator equi-joins on
+    (user_id, time-bucket) — never a theta/cross join — see
+    operators/rangejoin.py."""
+    from tool_documentsconverter_spark.operators.rangejoin import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    wins = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("window_id"),
+        "user_id",
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("w_end"),
+    )
+    pts = ev.select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_event_id"),
+        F.col("value").alias("p_value"),
+    )
+    j = range_join(wins, pts, key="user_id", start_col="w_start",
+                   end_col="w_end", ts_col="p_ts", bucket_seconds=300)
+    return (
+        j.groupBy("window_id", "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("p_event_id").alias("first_event_id"),
+            F.round(F.sum("p_value"), 2).alias("sum_value"),
+        )
+        .orderBy("window_id")
+    )
+
+
+# The oracle is the naive theta-join DuckDB can afford at sf0.01 —
+# the strongest check that bucketing loses/duplicates no pairs
+_SQL_RANGE_JOIN = """
+SELECT w.event_id AS window_id, w.user_id,
+       count(*) AS n_events,
+       min(p.event_id) AS first_event_id,
+       round(sum(p.value), 2) AS sum_value
+FROM (SELECT * FROM events WHERE event_type = 'error') w
+JOIN events p
+  ON p.user_id = w.user_id
+ AND p.ts >= w.ts AND p.ts <= w.ts + INTERVAL 5 MINUTE
+GROUP BY 1, 2 ORDER BY 1
+"""
+
+
+def _q_events_rollup(spark, sf_dir):
+    """Hypertable-style multi-granularity rollup: one pass, GROUPING
+    SETS (day x event_type), (day), (grand total) via ROLLUP — every
+    aggregate is map-side combinable, so the continuous-aggregate
+    pattern costs one shuffle at any scale."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.unix_timestamp(F.date_trunc("day", F.col("ts"))).alias("day_epoch")
+    return (
+        ev.select(day, "event_type", "value")
+        .rollup("day_epoch", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.min("value"), 4).alias("min_value"),
+            F.round(F.max("value"), 4).alias("max_value"),
+        )
+        .select(
+            F.coalesce("day_epoch", F.lit(-1)).alias("day_epoch"),
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            "n_events", "sum_value", "min_value", "max_value",
+        )
+        .orderBy("day_epoch", "event_type")
+    )
+
+
+_SQL_EVENTS_ROLLUP = """
+WITH g AS (
+  SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS d,
+         event_type AS et,
+         count(*) AS n_events,
+         round(sum(value), 2) AS sum_value,
+         round(min(value), 4) AS min_value,
+         round(max(value), 4) AS max_value
+  FROM events GROUP BY ROLLUP (d, et)
+)
+SELECT coalesce(d, -1) AS day_epoch,
+       coalesce(et, 'ALL') AS event_type,
+       n_events, sum_value, min_value, max_value
+FROM g ORDER BY day_epoch, event_type
+"""
+
+
 def _q_events_hourly(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     hour = F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch")
@@ -1643,7 +1734,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "broadcast_dim_join": _q_broadcast_dim,
         "events_json": _q_events_json,
         "events_hourly": _q_events_hourly,
+        "events_rollup": _q_events_rollup,
         "asof_join": _q_asof_join,
+        "range_join": _q_range_join,
         "dedup_exact": _q_dedup_exact,
         "minhash_signatures": _q_minhash_sig,
         "minhash_lsh_pairs": _q_minhash_pairs,
@@ -1694,7 +1787,9 @@ def oracle_sql() -> dict[str, str]:
         "broadcast_dim_join": _SQL_BROADCAST_DIM,
         "events_json": _SQL_EVENTS_JSON,
         "events_hourly": _SQL_EVENTS_HOURLY,
+        "events_rollup": _SQL_EVENTS_ROLLUP,
         "asof_join": _SQL_ASOF,
+        "range_join": _SQL_RANGE_JOIN,
         "dedup_exact": _SQL_DEDUP_EXACT,
         "minhash_signatures": _SQL_MINHASH_SIG,
         "minhash_lsh_pairs": _SQL_MINHASH_PAIRS,

@@ -78,7 +78,8 @@ def main() -> None:
     qs = E.queries()
     for name in [
         "transcript_flagship", "text_wrap_md", "tpch_q1", "revenue_topk",
-        "broadcast_dim_join", "events_json", "asof_join", "dedup_exact",
+        "broadcast_dim_join", "events_json", "asof_join", "range_join",
+        "events_rollup", "dedup_exact",
         "minhash_lsh_pairs", "simhash", "embedding_cosine_dups",
         "dup_clusters", "textstats", "lang_id",
         "gopher_quality", "text_normalize_scrub",

@@ -300,11 +300,14 @@ one memory bus; host-VM noise makes identical runs vary up to 40%
 4N level the storage bandwidth a real 4N cluster has, but memory-bus
 contention still penalizes the 4N side relative to real hardware.
 """
-    out_md = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # Write to autogen sidecars; BENCH/BASELINE.md is hand-curated from
+    # these (a direct overwrite once clobbered the curated history).
+    out_md = os.path.join(REPO, "BENCH", f"BASELINE_autogen_{args.mix}.md")
     os.makedirs(os.path.dirname(out_md), exist_ok=True)
     with open(out_md, "w") as f:
         f.write(md)
-    out_json = os.path.join(REPO, "BENCH", "scaling_evidence.json")
+    suffix = "" if args.mix == "fixtures" else f"_{args.mix}"
+    out_json = os.path.join(REPO, "BENCH", f"scaling_evidence{suffix}.json")
     with open(out_json, "w") as f:
         json.dump(report, f, indent=1)
     print(f"wrote {out_md} and {out_json}")

@@ -102,6 +102,14 @@ def test_unresolvable_hyperlink_degrades_to_text():
     assert md == "# s\n\nbare\n\n"
 
 
+def test_bare_t_outside_run_reaches_rich_path():
+    # _para_text's iter() walk reaches a w:t that sits directly under
+    # the paragraph (malformed producers); the span walk must agree
+    body = "<w:p><w:t>loose</w:t><w:r><w:t> run</w:t></w:r></w:p>"
+    md = K.convert_docx_xml("s", _doc(body))
+    assert md == "# s\n\nloose run\n\n"
+
+
 def test_plain_paragraphs_byte_identical_to_legacy_walk():
     # documents using none of the new features must emit exactly the
     # pre-richness bytes (regression fence for every existing golden)

@@ -1,0 +1,84 @@
+"""Bucketed range join (operators/rangejoin.py): the equi-join-on-
+(key, time-bucket) implementation must match the naive BETWEEN
+semantics exactly — inclusive bounds, intervals spanning many buckets,
+no duplicate pairs from the explode (each point maps to ONE bucket)."""
+
+import datetime as dt
+
+import pytest
+
+from tool_documentsconverter_spark.operators.rangejoin import range_join
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _ts(seconds, micros=0):
+    return T0 + dt.timedelta(seconds=seconds, microseconds=micros)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    intervals = spark.createDataFrame(
+        [
+            (1, 10, _ts(0), _ts(100)),       # same bucket (60s buckets: 0-1)
+            (2, 10, _ts(30), _ts(330)),      # spans 6 buckets
+            (3, 20, _ts(0), _ts(100)),       # other key, same times as #1
+            (4, 10, _ts(500), _ts(510)),     # matches nothing
+        ],
+        "iv_id int, k int, start timestamp, end timestamp",
+    )
+    points = spark.createDataFrame(
+        [
+            (100, 10, _ts(0)),               # == start of #1: inclusive
+            (101, 10, _ts(100)),             # == end of #1: inclusive
+            (102, 10, _ts(100, 1)),          # 1us past end of #1; inside #2
+            (103, 10, _ts(250)),             # inside #2 only, far bucket
+            (104, 20, _ts(50)),              # key 20 -> #3 only
+            (105, 30, _ts(50)),              # key with no interval
+        ],
+        "pt_id int, k int, ts timestamp",
+    )
+    return intervals, points
+
+
+def _pairs(intervals, points, bucket_seconds):
+    out = range_join(intervals, points, key="k", start_col="start",
+                     end_col="end", ts_col="ts",
+                     bucket_seconds=bucket_seconds)
+    return sorted((r.iv_id, r.pt_id) for r in out.collect())
+
+
+EXPECTED = [(1, 100), (1, 101), (2, 101), (2, 102), (2, 103), (3, 104)]
+
+
+def test_matches_naive_between_semantics(frames):
+    assert _pairs(*frames, bucket_seconds=60) == EXPECTED
+
+
+def test_bucket_size_never_changes_results(frames):
+    # correctness must not depend on the tuning knob
+    for b in (1, 7, 1000):
+        assert _pairs(*frames, bucket_seconds=b) == EXPECTED
+
+
+def test_no_duplicate_pairs_from_explode(frames):
+    intervals, points = frames
+    out = range_join(intervals, points, key="k", start_col="start",
+                     end_col="end", ts_col="ts", bucket_seconds=10)
+    rows = [(r.iv_id, r.pt_id) for r in out.collect()]
+    assert len(rows) == len(set(rows))
+
+
+def test_column_collision_rejected(frames):
+    intervals, points = frames
+    with pytest.raises(ValueError, match="collision"):
+        range_join(intervals, points.withColumnRenamed("ts", "start"),
+                   key="k", start_col="start", end_col="end",
+                   ts_col="start")
+
+
+def test_nonpositive_bucket_rejected(frames):
+    intervals, points = frames
+    with pytest.raises(ValueError, match="bucket_seconds"):
+        range_join(intervals, points, key="k", start_col="start",
+                   end_col="end", ts_col="ts", bucket_seconds=0)

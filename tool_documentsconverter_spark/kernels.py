@@ -419,6 +419,11 @@ def _collect_spans(elem, rels: Optional[dict]) -> List[tuple]:
                 parts.extend(inner)  # unresolvable: degrade to the text
             else:
                 parts.append(("link", target, inner))
+        elif tag == "t":
+            # bare w:t outside any run (malformed producers); _para_text's
+            # iter() walk reaches it, so the rich path must too
+            if child.text:
+                parts.append(("span", child.text, False, False))
         elif tag in ("pPr", "rPr"):
             continue
         else:  # smartTag / ins / field wrappers: recurse for the runs

@@ -1,0 +1,80 @@
+"""Range (interval-containment) join — a custom operator Spark lacks.
+
+A naive interval join (``points.ts BETWEEN intervals.start AND
+intervals.end``) is a theta-join: Spark can only plan it as a
+broadcast-nested-loop or a cartesian product, both O(n*m) — dead at
+100 TB.  The scale shape used here is the classic *bucketed* range
+join (the same trick Databricks' range-join optimization and
+KDB/TimescaleDB interval indexes use):
+
+ 1. chop the time axis into fixed ``bucket_seconds`` buckets;
+ 2. each interval row is exploded to every bucket it overlaps
+    (``ceil(len/bucket) + 1`` rows — bounded when bucket_seconds is
+    sized near the typical interval length);
+ 3. each point row maps to exactly ONE bucket;
+ 4. equi-join on (key, bucket) — shuffled, AQE-skew-splittable, never
+    a cross product — then the precise ``BETWEEN`` filter runs on the
+    few same-bucket candidates.
+
+Because the point side lands in exactly one bucket, a (interval,
+point) pair can match in at most one bucket — the join needs NO
+de-duplication pass afterwards (the usual hidden cost of explode
+joins).
+
+The interval side carries only its key + bounds through the explode;
+wide payload columns should be joined back by id afterwards if needed
+(same discipline as dedup.embedding_cosine_dups keeping vectors out of
+the banded shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_B = "_rj_bucket"
+
+
+def _epoch(col):
+    # TIMESTAMP_NTZ (parquet default) cannot cast to double directly;
+    # via TIMESTAMP it can, and both sides use the same conversion so
+    # bucket indices stay aligned whatever the session timezone
+    return F.col(col).cast("timestamp").cast("double")
+
+
+def range_join(intervals: DataFrame, points: DataFrame, key: str,
+               start_col: str, end_col: str, ts_col: str,
+               bucket_seconds: int = 3600) -> DataFrame:
+    """Inner-join every `points` row onto every `intervals` row of the
+    same `key` whose [start_col, end_col] (both INCLUSIVE) contains
+    `ts_col`.  All three bound columns are timestamps (sub-second
+    precision preserved: the bucket index is computed on the raw epoch
+    double, the containment predicate on the original columns).
+
+    Column names of the two inputs must not collide except `key`
+    (rename before calling — this operator never guesses a prefix).
+    """
+    if bucket_seconds <= 0:
+        raise ValueError("bucket_seconds must be positive")
+    overlap = set(intervals.columns) & set(points.columns) - {key}
+    if overlap:
+        raise ValueError(f"column collision between sides: {sorted(overlap)}")
+    b = F.lit(float(bucket_seconds))
+    li = intervals.withColumn(
+        _B,
+        F.explode(
+            F.sequence(
+                F.floor(_epoch(start_col) / b),
+                F.floor(_epoch(end_col) / b),
+            )
+        ),
+    )
+    rp = points.withColumn(_B, F.floor(_epoch(ts_col) / b))
+    return (
+        li.join(rp, on=[key, _B])
+        .where(
+            (F.col(ts_col) >= F.col(start_col))
+            & (F.col(ts_col) <= F.col(end_col))
+        )
+        .drop(_B)
+    )
