@@ -78,18 +78,28 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
-def hyperplane_sign(vec, plane: int, dim: int):
+def hyperplane_weights(plane: int, dim: int) -> list:
     """Deterministic pseudo-random hyperplane: weight of dimension d in
     plane p = (digit value of md5(p||':'||d) first hex char) - 7.5,
-    i.e. a fixed sign/magnitude pattern both engines can recompute."""
-    idx = F.sequence(F.lit(0), F.lit(dim - 1))
-    weights = F.transform(
-        idx,
-        lambda d: F.conv(
-            F.substring(F.md5(F.concat(F.lit(str(plane) + ":"), d.cast("string"))), 1, 1),
-            16, 10,
-        ).cast("double") - 7.5,
-    )
+    i.e. a fixed sign/magnitude pattern both engines can recompute
+    (the SQL oracle replays the same md5 derivation)."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{plane}:{d}".encode()).hexdigest()[0], 16) - 7.5
+        for d in range(dim)
+    ]
+
+
+def hyperplane_sign(vec, plane: int, dim: int):
+    """Sign bit of ``vec`` against plane ``plane``.  The weights are
+    CONSTANTS (they depend only on plane/dim, never on the row), so
+    they are derived driver-side and embedded as literals — the naive
+    formulation (``transform(sequence(...), d -> md5(...))`` inside
+    the row expression) recomputes plane*dim md5 hashes for EVERY ROW:
+    at 8 bands x 16 bits x 64 dims that is 8192 md5 calls per corpus
+    row, pure waste at any scale."""
+    weights = F.array(*[F.lit(w) for w in hyperplane_weights(plane, dim)])
     return F.when(_dot(F.transform(vec, lambda x: x.cast("double")), weights) >= 0,
                   F.lit("1")).otherwise(F.lit("0"))
 
