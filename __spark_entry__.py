@@ -1367,23 +1367,34 @@ def _q_media_features(spark, sf_dir):
         extract_media_features,
     )
 
+    return (
+        extract_media_features(_media_table(spark, sf_dir))
+        .orderBy("media_id")
+    )
+
+
+# replay of operators/multimodal.py:_decode_stub: width = 16 + digest[0],
+# height = 16 + digest[1] (both digest bytes < 256, so the %640/%480 in
+# the stub are identity); digest bytes come from the md5 hex pairs
+def _media_table(spark, sf_dir):
+    """UTF-8 text payloads with ASCII magics — the construction the
+    media_* oracles replay with DuckDB's md5(string)."""
     docs = _t(spark, sf_dir, "documents")
     magic = (
         F.when(F.col("doc_id") % 3 == 0, F.lit("RIFF"))
         .when(F.col("doc_id") % 3 == 1, F.lit("ID3"))
         .otherwise(F.lit(""))
     )
-    media = docs.select(
+    return docs.select(
         F.col("doc_id").alias("media_id"),
         F.encode(F.concat(magic, F.col("text")), "UTF-8").alias("payload"),
     )
-    return extract_media_features(media).orderBy("media_id")
 
 
-# replay of operators/multimodal.py:_decode_stub: width = 16 + digest[0],
-# height = 16 + digest[1] (both digest bytes < 256, so the %640/%480 in
-# the stub are identity); digest bytes come from the md5 hex pairs
-_SQL_MEDIA_FEATURES = """
+# shared oracle prefix for every media_* query: payload construction +
+# hex digest + the _decode_stub dimension/duration bytes, decoded with
+# CAST('0x'||pair AS INTEGER)
+_SQL_MEDIA_STUB_CTE = """
 WITH m AS (
   SELECT doc_id AS media_id,
          CASE doc_id % 3 WHEN 0 THEN 'RIFF' WHEN 1 THEN 'ID3' ELSE '' END
@@ -1392,32 +1403,79 @@ WITH m AS (
               ELSE 'unknown' END AS kind
   FROM documents
 ), h AS (
-  SELECT media_id, kind, payload, md5(payload) AS hx
+  SELECT media_id, kind, md5(payload) AS hx,
+         CAST(octet_length(encode(payload)) AS BIGINT) AS payload_bytes
   FROM m
 ), b AS (
-  SELECT media_id, kind, payload, hx,
-         (CASE WHEN substr(hx,1,1) BETWEEN '0' AND '9'
-               THEN ascii(substr(hx,1,1)) - 48
-               ELSE ascii(substr(hx,1,1)) - 87 END) * 16
-         + (CASE WHEN substr(hx,2,1) BETWEEN '0' AND '9'
-                 THEN ascii(substr(hx,2,1)) - 48
-                 ELSE ascii(substr(hx,2,1)) - 87 END) AS byte0,
-         (CASE WHEN substr(hx,3,1) BETWEEN '0' AND '9'
-               THEN ascii(substr(hx,3,1)) - 48
-               ELSE ascii(substr(hx,3,1)) - 87 END) * 16
-         + (CASE WHEN substr(hx,4,1) BETWEEN '0' AND '9'
-                 THEN ascii(substr(hx,4,1)) - 48
-                 ELSE ascii(substr(hx,4,1)) - 87 END) AS byte1
+  SELECT media_id, kind, hx, payload_bytes,
+         16 + CAST('0x' || substr(hx, 1, 2) AS INTEGER) AS w,
+         16 + CAST('0x' || substr(hx, 3, 2) AS INTEGER) % 480 AS h,
+         1000 + CAST('0x' || substr(hx, 5, 2) AS INTEGER) * 250
+             AS duration_ms
   FROM h
 )
+"""
+
+_SQL_MEDIA_FEATURES = _SQL_MEDIA_STUB_CTE + """
 SELECT media_id, kind,
-       CAST(16 + byte0 AS INTEGER) AS width,
-       CAST(16 + byte1 % 480 AS INTEGER) AS height,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
        'STUB' AS mode,
-       CAST(octet_length(encode(payload)) AS BIGINT) AS payload_bytes,
+       payload_bytes,
        hx AS payload_md5,
        'ok' AS status
 FROM b ORDER BY media_id
+"""
+
+
+def _q_media_resize(spark, sf_dir):
+    """Aspect-preserving thumbnail targets over the media table; the
+    integer-only fit_within math is replayed verbatim by the oracle."""
+    from tool_documentsconverter_spark.operators.multimodal import resize_media
+
+    return (
+        resize_media(_media_table(spark, sf_dir), max_side=100)
+        .select("media_id", "kind", "width", "height",
+                "out_width", "out_height", "status")
+        .orderBy("media_id")
+    )
+
+
+_SQL_MEDIA_RESIZE = _SQL_MEDIA_STUB_CTE + """
+SELECT media_id, kind,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(CASE WHEN greatest(w, h) <= 100 THEN w
+                 ELSE greatest(1, w * 100 // greatest(w, h)) END
+            AS INTEGER) AS out_width,
+       CAST(CASE WHEN greatest(w, h) <= 100 THEN h
+                 ELSE greatest(1, h * 100 // greatest(w, h)) END
+            AS INTEGER) AS out_height,
+       'ok' AS status
+FROM b ORDER BY media_id
+"""
+
+
+def _q_frame_sample(spark, sf_dir):
+    """Frame-sampling fan-out: 4 evenly-spaced frames per asset (one
+    Arrow stage multiplies rows 1 -> n_frames)."""
+    from tool_documentsconverter_spark.operators.multimodal import sample_frames
+
+    return (
+        sample_frames(_media_table(spark, sf_dir), n_frames=4)
+        .select("media_id", "frame_idx", "offset_ms", "frame_md5", "status")
+        .orderBy("media_id", "frame_idx")
+    )
+
+
+_SQL_FRAME_SAMPLE = _SQL_MEDIA_STUB_CTE + """
+SELECT media_id,
+       CAST(k AS INTEGER) AS frame_idx,
+       CAST(k * duration_ms // 4 AS BIGINT) AS offset_ms,
+       md5(hx || ':' || k) AS frame_md5,
+       'ok' AS status
+FROM b, LATERAL unnest(range(0, 4)) AS u(k)
+ORDER BY media_id, frame_idx
 """
 
 
@@ -1759,6 +1817,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_lsh_ann,
         "ann_ivf_topk": _q_ivf_ann,
         "media_features": _q_media_features,
+        "media_resize": _q_media_resize,
+        "frame_sample": _q_frame_sample,
         "md_pdf_roundtrip": _q_md_pdf_roundtrip,
         "docx_rich": _q_docx_rich,
         "pdf_layout": _q_pdf_layout,
@@ -1808,6 +1868,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_norms": _SQL_EMBEDDING_NORMS,
         "multimodal_meta": _SQL_MULTIMODAL,
         "media_features": _SQL_MEDIA_FEATURES,
+        "media_resize": _SQL_MEDIA_RESIZE,
+        "frame_sample": _SQL_FRAME_SAMPLE,
         "extract_dispatch": _SQL_EXTRACT_DISPATCH,
         "extract_binary_dispatch": _SQL_EXTRACT_BINARY,
         "md_pdf_roundtrip": _SQL_MD_PDF,

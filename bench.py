@@ -86,6 +86,7 @@ def main() -> None:
         "ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk",
         "corpus_curation", "xlsx_sheet_csv",
         "md_pdf_roundtrip", "docx_rich", "pdf_layout",
+        "media_resize", "frame_sample",
     ]:
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, SF_DIR).count())

@@ -71,10 +71,11 @@ def test_emphasis_toggle_val_false_is_off():
     body = (
         '<w:p><w:r><w:rPr><w:b w:val="false"/></w:rPr><w:t>notbold</w:t>'
         '</w:r><w:r><w:rPr><w:b w:val="0"/></w:rPr><w:t> also</w:t></w:r>'
+        '<w:r><w:rPr><w:b w:val="off"/></w:rPr><w:t> off</w:t></w:r>'
         "</w:p>"
     )
     md = K.convert_docx_xml("s", _doc(body))
-    assert md == "# s\n\nnotbold also\n\n"
+    assert md == "# s\n\nnotbold also off\n\n"
 
 
 def test_adjacent_same_format_runs_merge():

@@ -47,6 +47,63 @@ def test_media_features_stub(spark):
     assert all(r.status == "ok" for r in rows.values())
 
 
+def test_fit_within_pure():
+    from tool_documentsconverter_spark.operators.multimodal import fit_within
+
+    assert fit_within(640, 480, 100) == (100, 75)
+    assert fit_within(480, 640, 100) == (75, 100)
+    assert fit_within(80, 60, 100) == (80, 60)      # never upscale
+    assert fit_within(10000, 3, 100) == (100, 1)    # floor never hits 0
+
+
+def test_resize_media_stub(spark):
+    import hashlib
+
+    from tool_documentsconverter_spark.operators.multimodal import (
+        _decode_stub, fit_within, resize_media,
+    )
+
+    jpeg = b"\xff\xd8\xff" + b"fakejpegbody"
+    df = spark.createDataFrame(
+        [(1, jpeg), (2, None)], "media_id long, payload binary"
+    )
+    rows = {r.media_id: r for r in resize_media(df, max_side=100).collect()}
+    w, h, _ = _decode_stub(jpeg)
+    tw, th = fit_within(w, h, 100)
+    assert (rows[1].width, rows[1].height) == (w, h)
+    assert (rows[1].out_width, rows[1].out_height) == (tw, th)
+    assert rows[1].status == "ok"
+    # the binary return path carries the content-addressed fake pixels
+    assert bytes(rows[1].resized) == hashlib.md5(
+        jpeg + f"|resize:{tw}x{th}".encode()
+    ).digest()
+    assert rows[2].status == "failed" and rows[2].resized is None
+
+
+def test_sample_frames_fanout(spark):
+    import hashlib
+
+    from tool_documentsconverter_spark.operators.multimodal import sample_frames
+
+    vid = b"RIFF" + b"fakevideobody"
+    df = spark.createDataFrame(
+        [(1, vid), (2, None)], "media_id long, payload binary"
+    )
+    out = sample_frames(df, n_frames=4).collect()
+    ok = sorted((r.frame_idx for r in out if r.media_id == 1))
+    assert ok == [0, 1, 2, 3]  # 1 row in -> n_frames rows out
+    hx = hashlib.md5(vid).hexdigest()
+    duration = 1000 + int(hx[4:6], 16) * 250
+    by_idx = {r.frame_idx: r for r in out if r.media_id == 1}
+    for k in range(4):
+        assert by_idx[k].offset_ms == k * duration // 4
+        assert by_idx[k].frame_md5 == hashlib.md5(
+            f"{hx}:{k}".encode()
+        ).hexdigest()
+    failed = [r for r in out if r.media_id == 2]
+    assert len(failed) == 1 and failed[0].status == "failed"
+
+
 def test_sniff_media_pure():
     assert sniff_media(b"\xff\xd8\xffxx") == "jpeg"
     assert sniff_media(b"RIFFxxxx") == "riff"

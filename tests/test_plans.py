@@ -57,6 +57,28 @@ def test_antijoin_bucket_skip_is_scan_filter(spark):
     assert "Join" not in plan  # the skip is a filter, never a shuffle
 
 
+def test_range_join_is_hash_join_never_nested_loop(spark, sf_dir):
+    """The bucketed range join must plan as a hash equi-join on
+    (key, bucket) — a raw BETWEEN theta-join would fall back to
+    BroadcastNestedLoopJoin/CartesianProduct, which is the exact
+    failure mode the operator exists to avoid."""
+    from tool_documentsconverter_spark.operators.rangejoin import range_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    wins = ev.select(
+        F.col("event_id").alias("iv_id"), "user_id",
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("w_end"),
+    )
+    pts = ev.select("user_id", F.col("ts").alias("p_ts"),
+                    F.col("event_id").alias("p_id"))
+    plan = explain(range_join(wins, pts, key="user_id",
+                              start_col="w_start", end_col="w_end",
+                              ts_col="p_ts", bucket_seconds=300))
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "Join" in plan  # it IS a join — an equi (hash/sort-merge) one
+
+
 def test_markdown_wrap_is_codegen(docs):
     """The pure-column emitter must stay inside WholeStageCodegen —
     no Python/Arrow eval node in the plan."""

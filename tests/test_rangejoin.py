@@ -69,6 +69,31 @@ def test_no_duplicate_pairs_from_explode(frames):
     assert len(rows) == len(set(rows))
 
 
+def test_bucketing_survives_dst_session_timezone(spark):
+    """The bucket index must be MONOTONIC in the timestamp value.  A
+    session timezone with DST once broke this: NTZ -> TIMESTAMP ->
+    double maps wall clocks in the 2024-03-10 02:00-03:00 US gap
+    non-monotonically, so an interval spanning the gap exploded to a
+    backwards (empty) bucket range and dropped its matches."""
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        gap = dt.datetime(2024, 3, 10, 2, 45, 0)
+        intervals = spark.createDataFrame(
+            [(1, 10, gap, gap + dt.timedelta(minutes=30))],
+            "iv_id int, k int, start timestamp, end timestamp",
+        )
+        points = spark.createDataFrame(
+            [(100, 10, gap + dt.timedelta(minutes=15))],
+            "pt_id int, k int, ts timestamp",
+        )
+        out = range_join(intervals, points, key="k", start_col="start",
+                         end_col="end", ts_col="ts", bucket_seconds=300)
+        assert [(r.iv_id, r.pt_id) for r in out.collect()] == [(1, 100)]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz)
+
+
 def test_column_collision_rejected(frames):
     intervals, points = frames
     with pytest.raises(ValueError, match="collision"):

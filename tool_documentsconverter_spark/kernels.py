@@ -373,8 +373,9 @@ def _attr(el, name: str) -> Optional[str]:
 
 
 def _run_flags(r_elem) -> Tuple[bool, bool]:
-    """(bold, italic) of a w:r from its w:rPr — a bare <w:b/> is ON,
-    w:val='false'/'0'/'none' turns it off (OOXML toggle semantics)."""
+    """(bold, italic) of a w:r from its w:rPr — a bare <w:b/> is ON;
+    the ST_OnOff off-values 'false'/'0'/'off' turn it off ('none' kept
+    too: some producers emit the ST_Underline value here)."""
     bold = italic = False
     for el in r_elem:
         if _local(el.tag) != "rPr":
@@ -383,7 +384,7 @@ def _run_flags(r_elem) -> Tuple[bool, bool]:
             tag = _local(pr.tag)
             if tag in ("b", "i"):
                 val = _attr(pr, "val")
-                on = val not in ("false", "0", "none")
+                on = val not in ("false", "0", "off", "none")
                 if tag == "b":
                     bold = on
                 else:

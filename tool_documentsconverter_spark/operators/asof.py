@@ -24,6 +24,18 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _orderable(dt) -> bool:
+    """Spark cannot sort MapType (at any nesting depth)."""
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _orderable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    return True
 
 
 def asof_join(left: DataFrame, right: DataFrame, key: str, ts: str,
@@ -52,10 +64,19 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, ts: str,
     # this the match is nondeterministic under shuffle.  Left rows all
     # carry NULL payload (sorted first within their side, skipped by
     # ignorenulls), so their relative order never changes the result.
+    # MapType (at any nesting) is not orderable in Spark, so payloads
+    # containing maps tie-break on md5(to_json(payload)) instead —
+    # arbitrary but deterministic, which is all a tie-break needs.
+    payload_type = r.schema["_asof_payload"].dataType
+    tie = (
+        F.col("_asof_payload")
+        if _orderable(payload_type)
+        else F.md5(F.to_json(F.col("_asof_payload")))
+    )
     w = (
         Window.partitionBy(key)
         .orderBy(F.col(ts).asc(), F.col("_asof_side").asc(),
-                 F.col("_asof_payload").asc_nulls_first())
+                 tie.asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     joined = (

@@ -175,14 +175,10 @@ def cluster_duplicates(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             .count()
         )
         # the previous round's checkpoint blocks are dead once the new
-        # labels are materialized — release our reference eagerly
-        # (best-effort unpersist; the ContextCleaner reclaims the
-        # checkpoint blocks once the JVM-side reference drops) instead
-        # of holding every round's labels until session end
-        try:
-            labels.unpersist()
-        except Exception:  # pragma: no cover — best-effort cleanup
-            pass
+        # labels are materialized; localCheckpoint blocks are NOT in
+        # the CacheManager, so Dataset.unpersist() cannot release them
+        # — dropping the Python/JVM reference here is what lets the
+        # ContextCleaner reclaim them between rounds
         labels = new_labels
         if changed == 0:
             break
@@ -300,24 +296,13 @@ def embedding_cosine_dups(df: DataFrame, id_col: str, text_col: str,
     keep recall, which at 2^4 = 16 buckets made every bucket n/16 and
     the join O(n^2/16) — banding gets recall from the OR across bands
     instead, so each band can afford enough bits to stay selective."""
-    from .similarity import cosine, hyperplane_sign
+    from .similarity import banded_signatures, cosine
 
     vecs = hashed_embedding(df, id_col, text_col, dim)
-    band_sigs = F.array(*[
-        F.struct(
-            F.lit(b).alias("band"),
-            F.concat(*[
-                hyperplane_sign(F.col("vec"), b * bits_per_band + j, dim)
-                for j in range(bits_per_band)
-            ]).alias("sig"),
-        )
-        for b in range(n_bands)
-    ])
-    sigb = (
-        vecs.select(F.col(id_col), F.explode(band_sigs).alias("bs"))
-        .select(id_col, F.col("bs.band").alias("band"),
-                F.col("bs.sig").alias("sig"))
-    )
+    # same banding construction (and plane-index convention) as the
+    # ANN path — one implementation, one SQL-oracle replay contract
+    sigb = banded_signatures(vecs, id_col, n_bands, bits_per_band,
+                             dim, id_col=id_col, vec_col="vec")
     # window count + filter: one pass, one shuffle on exactly the
     # self-join keys below (shared exchange) — see minhash_lsh_pairs
     from pyspark.sql import Window

@@ -106,3 +106,161 @@ def extract_media_features(df: DataFrame, id_col: str = "media_id",
         "media_id long, kind string, width int, height int, mode string, "
         "payload_bytes long, payload_md5 string, status string",
     )
+
+
+def fit_within(w: int, h: int, max_side: int):
+    """Aspect-preserving downscale target, INTEGER math only (so the
+    SQL oracle replays it with `//` — no float rounding divergence):
+    the longer side shrinks to max_side, the shorter scales
+    proportionally (floor), never below 1; images already small pass
+    through unchanged (thumbnail semantics — never upscale)."""
+    m = max(w, h)
+    if m <= max_side:
+        return w, h
+    return max(1, w * max_side // m), max(1, h * max_side // m)
+
+
+def _resize_batches(max_side: int):
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        # probe INSIDE the generator: it runs on the executor, whose
+        # environment decides the decoder — a driver-side probe would
+        # bake the driver's environment into the closure and fail (or
+        # silently stub) on mismatched clusters
+        try:
+            from PIL import Image  # noqa: F401  # type: ignore
+
+            decode = _decode_image_real
+            real = True
+        except ImportError:
+            decode = _decode_stub
+            real = False
+
+        for batch in batches:
+            names = batch.schema.names
+            ids = batch.column(names.index("media_id")).to_pylist()
+            payloads = batch.column(names.index("payload")).to_pylist()
+            kind, w_in, h_in, w_out, h_out, resized, status = \
+                [], [], [], [], [], [], []
+            for payload in payloads:
+                kind.append(sniff_media(payload))
+                if payload is None:
+                    w_in.append(None); h_in.append(None)
+                    w_out.append(None); h_out.append(None)
+                    resized.append(None); status.append("failed")
+                    continue
+                try:
+                    w, h, _mode = decode(payload)
+                    tw, th = fit_within(w, h, max_side)
+                    if real:  # pragma: no cover - needs PIL
+                        import io
+
+                        from PIL import Image
+
+                        img = Image.open(io.BytesIO(payload))
+                        img = img.resize((tw, th))
+                        buf = io.BytesIO()
+                        img.save(buf, format="PNG")
+                        out_bytes = buf.getvalue()
+                    else:
+                        # deterministic fake pixels: content-addressed,
+                        # dimension-tagged — NOT an image, stands in for
+                        # the PIL re-encode so the binary return path
+                        # (Python -> Arrow -> JVM) is exercised for real
+                        out_bytes = hashlib.md5(
+                            payload + f"|resize:{tw}x{th}".encode()
+                        ).digest()
+                    w_in.append(w); h_in.append(h)
+                    w_out.append(tw); h_out.append(th)
+                    resized.append(out_bytes); status.append("ok")
+                except Exception:  # failure isolation
+                    w_in.append(None); h_in.append(None)
+                    w_out.append(None); h_out.append(None)
+                    resized.append(None); status.append("failed")
+            yield pa.RecordBatch.from_pydict({
+                "media_id": pa.array(ids),
+                "kind": pa.array(kind, type=pa.string()),
+                "width": pa.array(w_in, type=pa.int32()),
+                "height": pa.array(h_in, type=pa.int32()),
+                "out_width": pa.array(w_out, type=pa.int32()),
+                "out_height": pa.array(h_out, type=pa.int32()),
+                "resized": pa.array(resized, type=pa.binary()),
+                "status": pa.array(status, type=pa.string()),
+            })
+
+    return gen
+
+
+def resize_media(df: DataFrame, max_side: int = 256,
+                 id_col: str = "media_id",
+                 payload_col: str = "payload") -> DataFrame:
+    """(media_id, payload:binary) -> aspect-preserving downscale.
+    Decode/re-encode is PIL when installed, the deterministic stub
+    otherwise; the target-dimension math (`fit_within`) is shared by
+    both paths and integer-only, so the `media_resize` oracle replays
+    it exactly."""
+    src = df.select(F.col(id_col).alias("media_id"),
+                    F.col(payload_col).alias("payload"))
+    return src.mapInArrow(
+        _resize_batches(max_side),
+        "media_id long, kind string, width int, height int, "
+        "out_width int, out_height int, resized binary, status string",
+    )
+
+
+def _frame_batches(n_frames: int):
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            names = batch.schema.names
+            ids = batch.column(names.index("media_id")).to_pylist()
+            payloads = batch.column(names.index("payload")).to_pylist()
+            mid, idx, off, fmd5, frame, status = [], [], [], [], [], []
+            for i, payload in zip(ids, payloads):
+                if payload is None:  # failure isolation: one failed row
+                    mid.append(i); idx.append(None); off.append(None)
+                    fmd5.append(None); frame.append(None)
+                    status.append("failed")
+                    continue
+                # deterministic fake container probe: duration derived
+                # from the content hash (a real build uses PyAV/ffprobe
+                # here); the fan-out shape (1 video row -> n_frames
+                # rows out of the Arrow stage) is the real semantics
+                hx = hashlib.md5(payload).hexdigest()
+                duration_ms = 1000 + int(hx[4:6], 16) * 250
+                for k in range(n_frames):
+                    mid.append(i)
+                    idx.append(k)
+                    off.append(k * duration_ms // n_frames)
+                    tag = f"{hx}:{k}"
+                    fmd5.append(hashlib.md5(tag.encode()).hexdigest())
+                    frame.append(hashlib.md5(tag.encode()).digest())
+                    status.append("ok")
+            yield pa.RecordBatch.from_pydict({
+                "media_id": pa.array(mid),
+                "frame_idx": pa.array(idx, type=pa.int32()),
+                "offset_ms": pa.array(off, type=pa.int64()),
+                "frame_md5": pa.array(fmd5, type=pa.string()),
+                "frame": pa.array(frame, type=pa.binary()),
+                "status": pa.array(status, type=pa.string()),
+            })
+
+    return gen
+
+
+def sample_frames(df: DataFrame, n_frames: int = 4,
+                  id_col: str = "media_id",
+                  payload_col: str = "payload") -> DataFrame:
+    """(media_id, payload:binary video) -> n_frames evenly-spaced
+    frame rows (media_id, frame_idx, offset_ms, frame) — the
+    frame-sampling fan-out a video training pipeline runs before
+    per-frame feature extraction.  The decode is honestly stubbed
+    (deterministic hash-derived duration + frame bytes; a real build
+    swaps in PyAV/ffmpeg inside `_frame_batches` only); the Spark
+    surface — binary in, multiplied rows out of one Arrow stage,
+    failure isolation per asset — is real and tested."""
+    src = df.select(F.col(id_col).alias("media_id"),
+                    F.col(payload_col).alias("payload"))
+    return src.mapInArrow(
+        _frame_batches(n_frames),
+        "media_id long, frame_idx int, offset_ms long, "
+        "frame_md5 string, frame binary, status string",
+    )

@@ -36,10 +36,21 @@ _B = "_rj_bucket"
 
 
 def _epoch(col):
-    # TIMESTAMP_NTZ (parquet default) cannot cast to double directly;
-    # via TIMESTAMP it can, and both sides use the same conversion so
-    # bucket indices stay aligned whatever the session timezone
-    return F.col(col).cast("timestamp").cast("double")
+    # Bucket index needs a MONOTONIC map from the timestamp to a
+    # number.  Casting NTZ -> TIMESTAMP -> double interprets the wall
+    # clock in the session timezone, and across a DST spring-forward
+    # gap that map runs BACKWARDS — an interval could explode to a
+    # descending (empty) bucket sequence and silently drop matches.
+    # Wall-clock arithmetic (days since epoch + seconds of day) is
+    # monotonic in the NTZ value regardless of session timezone;
+    # second resolution is enough for bucketing because the precise
+    # BETWEEN filter runs on the original columns afterwards.
+    c = F.col(col)
+    return (
+        F.datediff(c.cast("date"), F.lit("1970-01-01")).cast("double")
+        * 86400.0
+        + F.hour(c) * 3600.0 + F.minute(c) * 60.0 + F.second(c)
+    )
 
 
 def range_join(intervals: DataFrame, points: DataFrame, key: str,

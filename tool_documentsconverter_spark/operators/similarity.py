@@ -118,13 +118,20 @@ def fit_ivf_centroids(corpus: DataFrame, n_cells: int = 16,
     a full KMeans job each call for identical centroids).
 
     Centroid quality needs only a sketch of the distribution, so the
-    fit runs driver-side over a bounded sample: ``sample(fraction)``
-    (pushed into the scan; set train_fraction ~ train_cap / n at
-    corpus scale) + ``limit(train_cap)`` — never a ``count()`` pass —
-    then seeded numpy Lloyd's on at most train_cap x dim doubles
-    (100k x 64 = 51 MB, a bounded driver read by construction, NOT a
-    corpus collect).  Deterministic: seeded init, argmin ties resolve
-    to the lowest cell, empty cells reseed to the farthest point."""
+    fit runs driver-side over a bounded sample — never a ``count()``
+    pass: ``sample(fraction)`` when given (pushed into the scan; set
+    train_fraction ~ train_cap / n at corpus scale), then a
+    PER-PARTITION capped take (each input partition contributes at
+    most train_cap / n_partitions rows).  A bare ``limit(train_cap)``
+    would read whatever the first partitions yield — on a corpus laid
+    out by source/time that is a biased prefix (one shard's vectors),
+    and partitioning-dependent to boot; the per-partition cap spreads
+    the sample across every shard at the same cost.  The collected
+    matrix is at most train_cap x dim doubles (100k x 64 = 51 MB, a
+    bounded driver read by construction, NOT a corpus collect).
+    Deterministic for a fixed file layout: seeded init, argmin ties
+    resolve to the lowest cell, empty cells reseed to the farthest
+    point."""
     import numpy as np
 
     sampled = corpus.select(
@@ -132,7 +139,15 @@ def fit_ivf_centroids(corpus: DataFrame, n_cells: int = 16,
     )
     if train_fraction < 1.0:
         sampled = sampled.sample(False, train_fraction, seed)
-    rows = sampled.limit(train_cap).collect()
+    n_parts = max(1, sampled.rdd.getNumPartitions())
+    per_part = max(1, train_cap // n_parts)
+
+    def _take(it):
+        import itertools
+
+        return itertools.islice(it, per_part)
+
+    rows = sampled.rdd.mapPartitions(_take).take(train_cap)
     x = np.asarray([r.v for r in rows], dtype=np.float64)
     if len(x) < n_cells:
         raise ValueError(

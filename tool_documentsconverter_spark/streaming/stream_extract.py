@@ -12,8 +12,8 @@ as a stream:
   progress tracking (Spark's own WAL replaces the lineage table here).
 
 Late data/watermarks are irrelevant to per-turn extraction (each turn
-is independent); a watermarked windowed aggregation is provided for
-the per-minute throughput metric as the stateful example.
+is independent); the watermarked windowed-aggregation surface lives in
+rollup_stream.py (streaming twin of the batch events_rollup query).
 """
 
 from __future__ import annotations
@@ -59,14 +59,3 @@ def run_stream_extract(spark: SparkSession, input_dir: str, output_dir: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
-
-
-def minute_throughput(stream: DataFrame) -> DataFrame:
-    """Stateful example: per-minute turn counts with a 2-minute
-    watermark for late arrivals (tumbling window aggregation)."""
-    return (
-        stream.withWatermark("ts", "2 minutes")
-        .groupBy(F.window("ts", "1 minute").alias("w"))
-        .agg(F.count(F.lit(1)).alias("turns"))
-        .select(F.col("w.start").alias("minute"), "turns")
-    )
