@@ -79,6 +79,30 @@ def test_range_join_is_hash_join_never_nested_loop(spark, sf_dir):
     assert "Join" in plan  # it IS a join — an equi (hash/sort-merge) one
 
 
+def test_bucketed_tables_join_without_exchange(spark):
+    """Pre-bucketed storage is the co-located-join tool for repeated
+    big joins on the same key: both sides bucketed by the join key
+    into the same bucket count must sort-merge join with ZERO Exchange
+    nodes (no shuffle at read OR join time)."""
+    from pyspark.sql import functions as F
+
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = spark.range(1000).withColumn("v", F.col("id") % 7)
+        for t in ("bj_a", "bj_b"):
+            (df.write.bucketBy(8, "id").sortBy("id")
+             .mode("overwrite").saveAsTable(t))
+        q = spark.table("bj_a").join(spark.table("bj_b"), "id")
+        plan = explain(q)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        spark.sql("DROP TABLE IF EXISTS bj_a")
+        spark.sql("DROP TABLE IF EXISTS bj_b")
+
+
 def test_markdown_wrap_is_codegen(docs):
     """The pure-column emitter must stay inside WholeStageCodegen —
     no Python/Arrow eval node in the plan."""
