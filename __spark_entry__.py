@@ -1368,7 +1368,7 @@ def _q_media_features(spark, sf_dir):
     )
 
     return (
-        extract_media_features(_media_table(spark, sf_dir))
+        extract_media_features(_media_table(spark, sf_dir), use_stub=True)
         .orderBy("media_id")
     )
 
@@ -1434,7 +1434,8 @@ def _q_media_resize(spark, sf_dir):
     from tool_documentsconverter_spark.operators.multimodal import resize_media
 
     return (
-        resize_media(_media_table(spark, sf_dir), max_side=100)
+        resize_media(_media_table(spark, sf_dir), max_side=100,
+                     use_stub=True)
         .select("media_id", "kind", "width", "height",
                 "out_width", "out_height", "status")
         .orderBy("media_id")

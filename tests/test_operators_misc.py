@@ -38,7 +38,7 @@ def test_media_features_stub(spark):
     df = spark.createDataFrame(
         [(1, jpeg), (2, png), (3, junk)], "media_id long, payload binary"
     )
-    rows = {r.media_id: r for r in extract_media_features(df).collect()}
+    rows = {r.media_id: r for r in extract_media_features(df, use_stub=True).collect()}
     assert rows[1].kind == "jpeg" and rows[2].kind == "png"
     assert rows[3].kind == "unknown"
     assert rows[1].payload_bytes == len(jpeg)
@@ -67,7 +67,7 @@ def test_resize_media_stub(spark):
     df = spark.createDataFrame(
         [(1, jpeg), (2, None)], "media_id long, payload binary"
     )
-    rows = {r.media_id: r for r in resize_media(df, max_side=100).collect()}
+    rows = {r.media_id: r for r in resize_media(df, max_side=100, use_stub=True).collect()}
     w, h, _ = _decode_stub(jpeg)
     tw, th = fit_within(w, h, 100)
     assert (rows[1].width, rows[1].height) == (w, h)

@@ -69,22 +69,49 @@ def test_no_duplicate_pairs_from_explode(frames):
     assert len(rows) == len(set(rows))
 
 
-def test_bucketing_survives_dst_session_timezone(spark):
-    """The bucket index must be MONOTONIC in the timestamp value.  A
-    session timezone with DST once broke this: NTZ -> TIMESTAMP ->
-    double maps wall clocks in the 2024-03-10 02:00-03:00 US gap
+def test_ntz_bucketing_survives_dst_spring_forward_gap(spark):
+    """The bucket index must be MONOTONIC in the timestamp value.  For
+    NTZ columns, interpreting the wall clock in a DST session timezone
+    (the old cast path) maps the 2024-03-10 02:00-03:00 US gap
     non-monotonically, so an interval spanning the gap exploded to a
-    backwards (empty) bucket range and dropped its matches."""
+    backwards (empty) bucket range and dropped its matches; the
+    wall-clock arithmetic path is immune."""
     tz = spark.conf.get("spark.sql.session.timeZone")
     spark.conf.set("spark.sql.session.timeZone", "America/New_York")
     try:
         gap = dt.datetime(2024, 3, 10, 2, 45, 0)
         intervals = spark.createDataFrame(
             [(1, 10, gap, gap + dt.timedelta(minutes=30))],
-            "iv_id int, k int, start timestamp, end timestamp",
+            "iv_id int, k int, start timestamp_ntz, end timestamp_ntz",
         )
         points = spark.createDataFrame(
             [(100, 10, gap + dt.timedelta(minutes=15))],
+            "pt_id int, k int, ts timestamp_ntz",
+        )
+        out = range_join(intervals, points, key="k", start_col="start",
+                         end_col="end", ts_col="ts", bucket_seconds=300)
+        assert [(r.iv_id, r.pt_id) for r in out.collect()] == [(1, 100)]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz)
+
+
+def test_ltz_bucketing_survives_dst_fall_back_fold(spark):
+    """For TIMESTAMP (LTZ) columns the complementary hazard is the
+    fall-back fold: wall-clock arithmetic would run BACKWARDS across
+    2024-11-03 02:00->01:00 US, so LTZ must bucket on the true epoch.
+    Interval 05:50Z..06:10Z (wall 01:50 EDT -> 01:10 EST, 'backwards'
+    on the wall clock) must still match a point at 06:00Z inside it."""
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        utc = dt.timezone.utc
+        s = dt.datetime(2024, 11, 3, 5, 50, 0, tzinfo=utc)
+        intervals = spark.createDataFrame(
+            [(1, 10, s, s + dt.timedelta(minutes=20))],
+            "iv_id int, k int, start timestamp, end timestamp",
+        )
+        points = spark.createDataFrame(
+            [(100, 10, s + dt.timedelta(minutes=10))],
             "pt_id int, k int, ts timestamp",
         )
         out = range_join(intervals, points, key="k", start_col="start",
@@ -92,6 +119,15 @@ def test_bucketing_survives_dst_session_timezone(spark):
         assert [(r.iv_id, r.pt_id) for r in out.collect()] == [(1, 100)]
     finally:
         spark.conf.set("spark.sql.session.timeZone", tz)
+
+
+def test_mixed_timestamp_types_rejected(frames):
+    intervals, points = frames
+    pts_ntz = points.selectExpr("pt_id", "k",
+                                "CAST(ts AS TIMESTAMP_NTZ) AS ts")
+    with pytest.raises(ValueError, match="timestamp type"):
+        range_join(intervals, pts_ntz, key="k", start_col="start",
+                   end_col="end", ts_col="ts")
 
 
 def test_column_collision_rejected(frames):

@@ -52,57 +52,76 @@ def _decode_stub(payload: bytes):
     return 16 + h[0] % 640, 16 + h[1] % 480, "STUB"
 
 
-def _feature_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+def _pick_decoder(use_stub):
+    """Executor-side decoder choice.  use_stub=True pins the
+    deterministic stub regardless of environment — the parity queries
+    and stub unit tests need that, because their oracles replay the
+    stub math and would diverge on a machine where Pillow happens to
+    be installed (where PIL would *fail* on the fake text payloads).
+    use_stub=None probes for the real library (production default)."""
+    if use_stub:
+        return _decode_stub, False
     try:
         from PIL import Image  # noqa: F401  # type: ignore
 
-        decode = _decode_image_real
+        return _decode_image_real, True
     except ImportError:
-        decode = _decode_stub
+        return _decode_stub, False
 
-    for batch in batches:
-        names = batch.schema.names
-        ids = batch.column(names.index("media_id")).to_pylist()
-        payloads = batch.column(names.index("payload")).to_pylist()
-        kind, width, height, mode, nbytes, digest, status = \
-            [], [], [], [], [], [], []
-        for payload in payloads:
-            k = sniff_media(payload)
-            kind.append(k)
-            nbytes.append(len(payload) if payload is not None else 0)
-            digest.append(
-                hashlib.md5(payload).hexdigest() if payload is not None else None
-            )
-            if payload is None:
-                width.append(None); height.append(None); mode.append(None)
-                status.append("failed")
-                continue
-            try:
-                w, h, m = decode(payload)
-                width.append(w); height.append(h); mode.append(m)
-                status.append("ok")
-            except Exception:  # failure isolation
-                width.append(None); height.append(None); mode.append(None)
-                status.append("failed")
-        yield pa.RecordBatch.from_pydict({
-            "media_id": pa.array(ids),
-            "kind": pa.array(kind, type=pa.string()),
-            "width": pa.array(width, type=pa.int32()),
-            "height": pa.array(height, type=pa.int32()),
-            "mode": pa.array(mode, type=pa.string()),
-            "payload_bytes": pa.array(nbytes, type=pa.int64()),
-            "payload_md5": pa.array(digest, type=pa.string()),
-            "status": pa.array(status, type=pa.string()),
-        })
+
+def _feature_batches(use_stub=None):
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        decode, _real = _pick_decoder(use_stub)
+
+        for batch in batches:
+            names = batch.schema.names
+            ids = batch.column(names.index("media_id")).to_pylist()
+            payloads = batch.column(names.index("payload")).to_pylist()
+            kind, width, height, mode, nbytes, digest, status = \
+                [], [], [], [], [], [], []
+            for payload in payloads:
+                k = sniff_media(payload)
+                kind.append(k)
+                nbytes.append(len(payload) if payload is not None else 0)
+                digest.append(
+                    hashlib.md5(payload).hexdigest()
+                    if payload is not None else None
+                )
+                if payload is None:
+                    width.append(None); height.append(None); mode.append(None)
+                    status.append("failed")
+                    continue
+                try:
+                    w, h, m = decode(payload)
+                    width.append(w); height.append(h); mode.append(m)
+                    status.append("ok")
+                except Exception:  # failure isolation
+                    width.append(None); height.append(None); mode.append(None)
+                    status.append("failed")
+            yield pa.RecordBatch.from_pydict({
+                "media_id": pa.array(ids),
+                "kind": pa.array(kind, type=pa.string()),
+                "width": pa.array(width, type=pa.int32()),
+                "height": pa.array(height, type=pa.int32()),
+                "mode": pa.array(mode, type=pa.string()),
+                "payload_bytes": pa.array(nbytes, type=pa.int64()),
+                "payload_md5": pa.array(digest, type=pa.string()),
+                "status": pa.array(status, type=pa.string()),
+            })
+
+    return gen
 
 
 def extract_media_features(df: DataFrame, id_col: str = "media_id",
-                           payload_col: str = "payload") -> DataFrame:
-    """(media_id, payload:binary) -> typed metadata row per asset."""
+                           payload_col: str = "payload",
+                           use_stub: bool | None = None) -> DataFrame:
+    """(media_id, payload:binary) -> typed metadata row per asset.
+    ``use_stub=True`` pins the deterministic fake decoder (see
+    _pick_decoder); default None probes for PIL executor-side."""
     src = df.select(F.col(id_col).alias("media_id"),
                     F.col(payload_col).alias("payload"))
     return src.mapInArrow(
-        _feature_batches,
+        _feature_batches(use_stub),
         "media_id long, kind string, width int, height int, mode string, "
         "payload_bytes long, payload_md5 string, status string",
     )
@@ -120,20 +139,13 @@ def fit_within(w: int, h: int, max_side: int):
     return max(1, w * max_side // m), max(1, h * max_side // m)
 
 
-def _resize_batches(max_side: int):
+def _resize_batches(max_side: int, use_stub=None):
     def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         # probe INSIDE the generator: it runs on the executor, whose
         # environment decides the decoder — a driver-side probe would
         # bake the driver's environment into the closure and fail (or
         # silently stub) on mismatched clusters
-        try:
-            from PIL import Image  # noqa: F401  # type: ignore
-
-            decode = _decode_image_real
-            real = True
-        except ImportError:
-            decode = _decode_stub
-            real = False
+        _, real = _pick_decoder(use_stub)
 
         for batch in batches:
             names = batch.schema.names
@@ -149,19 +161,24 @@ def _resize_batches(max_side: int):
                     resized.append(None); status.append("failed")
                     continue
                 try:
-                    w, h, _mode = decode(payload)
-                    tw, th = fit_within(w, h, max_side)
                     if real:  # pragma: no cover - needs PIL
                         import io
 
                         from PIL import Image
 
+                        # ONE decode: dims and pixels come from the
+                        # same handle (a decode(payload) pre-pass
+                        # would open every image twice)
                         img = Image.open(io.BytesIO(payload))
+                        w, h = img.width, img.height
+                        tw, th = fit_within(w, h, max_side)
                         img = img.resize((tw, th))
                         buf = io.BytesIO()
                         img.save(buf, format="PNG")
                         out_bytes = buf.getvalue()
                     else:
+                        w, h, _mode = _decode_stub(payload)
+                        tw, th = fit_within(w, h, max_side)
                         # deterministic fake pixels: content-addressed,
                         # dimension-tagged — NOT an image, stands in for
                         # the PIL re-encode so the binary return path
@@ -192,16 +209,18 @@ def _resize_batches(max_side: int):
 
 def resize_media(df: DataFrame, max_side: int = 256,
                  id_col: str = "media_id",
-                 payload_col: str = "payload") -> DataFrame:
+                 payload_col: str = "payload",
+                 use_stub: bool | None = None) -> DataFrame:
     """(media_id, payload:binary) -> aspect-preserving downscale.
     Decode/re-encode is PIL when installed, the deterministic stub
-    otherwise; the target-dimension math (`fit_within`) is shared by
-    both paths and integer-only, so the `media_resize` oracle replays
-    it exactly."""
+    otherwise (``use_stub=True`` pins the stub — the oracle-replayed
+    path); the target-dimension math (`fit_within`) is shared by both
+    paths and integer-only, so the `media_resize` oracle replays it
+    exactly."""
     src = df.select(F.col(id_col).alias("media_id"),
                     F.col(payload_col).alias("payload"))
     return src.mapInArrow(
-        _resize_batches(max_side),
+        _resize_batches(max_side, use_stub),
         "media_id long, kind string, width int, height int, "
         "out_width int, out_height int, resized binary, status string",
     )

@@ -35,17 +35,25 @@ from pyspark.sql import functions as F
 _B = "_rj_bucket"
 
 
-def _epoch(col):
+def _epoch(df: DataFrame, col: str):
     # Bucket index needs a MONOTONIC map from the timestamp to a
-    # number.  Casting NTZ -> TIMESTAMP -> double interprets the wall
-    # clock in the session timezone, and across a DST spring-forward
-    # gap that map runs BACKWARDS — an interval could explode to a
-    # descending (empty) bucket sequence and silently drop matches.
-    # Wall-clock arithmetic (days since epoch + seconds of day) is
-    # monotonic in the NTZ value regardless of session timezone;
-    # second resolution is enough for bucketing because the precise
-    # BETWEEN filter runs on the original columns afterwards.
+    # number, and which map is monotonic depends on the TYPE:
+    #  - TIMESTAMP (LTZ) is an instant: cast to double (true epoch)
+    #    is monotonic; wall-clock arithmetic would run backwards
+    #    across a DST fall-back fold.
+    #  - TIMESTAMP_NTZ is a wall clock: day/hour/minute/second
+    #    arithmetic is monotonic; interpreting it in a DST session
+    #    timezone (the cast path) runs backwards across the
+    #    spring-forward gap — and the cast to double is not even
+    #    allowed for NTZ.
+    # Second-level resolution on the NTZ path is fine for bucketing:
+    # the precise BETWEEN filter runs on the original columns after
+    # the equi-join.
+    from pyspark.sql import types as T
+
     c = F.col(col)
+    if isinstance(df.schema[col].dataType, T.TimestampType):
+        return c.cast("double")
     return (
         F.datediff(c.cast("date"), F.lit("1970-01-01")).cast("double")
         * 86400.0
@@ -58,9 +66,11 @@ def range_join(intervals: DataFrame, points: DataFrame, key: str,
                bucket_seconds: int = 3600) -> DataFrame:
     """Inner-join every `points` row onto every `intervals` row of the
     same `key` whose [start_col, end_col] (both INCLUSIVE) contains
-    `ts_col`.  All three bound columns are timestamps (sub-second
-    precision preserved: the bucket index is computed on the raw epoch
-    double, the containment predicate on the original columns).
+    `ts_col`.  All three bound columns must be timestamps of the SAME
+    type (TIMESTAMP or TIMESTAMP_NTZ — the bucket map differs by
+    type, so mixing would misalign the sides); the bucket index
+    quantizes to whole seconds, which only needs monotonicity because
+    the precise containment predicate runs on the original columns.
 
     Column names of the two inputs must not collide except `key`
     (rename before calling — this operator never guesses a prefix).
@@ -70,17 +80,27 @@ def range_join(intervals: DataFrame, points: DataFrame, key: str,
     overlap = set(intervals.columns) & set(points.columns) - {key}
     if overlap:
         raise ValueError(f"column collision between sides: {sorted(overlap)}")
+    ts_types = {
+        type(intervals.schema[start_col].dataType),
+        type(intervals.schema[end_col].dataType),
+        type(points.schema[ts_col].dataType),
+    }
+    if len(ts_types) != 1:
+        raise ValueError(
+            f"all three bound columns must share one timestamp type, "
+            f"got {[t.__name__ for t in sorted(ts_types, key=str)]}"
+        )
     b = F.lit(float(bucket_seconds))
     li = intervals.withColumn(
         _B,
         F.explode(
             F.sequence(
-                F.floor(_epoch(start_col) / b),
-                F.floor(_epoch(end_col) / b),
+                F.floor(_epoch(intervals, start_col) / b),
+                F.floor(_epoch(intervals, end_col) / b),
             )
         ),
     )
-    rp = points.withColumn(_B, F.floor(_epoch(ts_col) / b))
+    rp = points.withColumn(_B, F.floor(_epoch(points, ts_col) / b))
     return (
         li.join(rp, on=[key, _B])
         .where(

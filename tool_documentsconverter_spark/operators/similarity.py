@@ -122,16 +122,20 @@ def fit_ivf_centroids(corpus: DataFrame, n_cells: int = 16,
     pass: ``sample(fraction)`` when given (pushed into the scan; set
     train_fraction ~ train_cap / n at corpus scale), then a
     PER-PARTITION capped take (each input partition contributes at
-    most train_cap / n_partitions rows).  A bare ``limit(train_cap)``
-    would read whatever the first partitions yield — on a corpus laid
-    out by source/time that is a biased prefix (one shard's vectors),
-    and partitioning-dependent to boot; the per-partition cap spreads
-    the sample across every shard at the same cost.  The collected
-    matrix is at most train_cap x dim doubles (100k x 64 = 51 MB, a
-    bounded driver read by construction, NOT a corpus collect).
-    Deterministic for a fixed file layout: seeded init, argmin ties
-    resolve to the lowest cell, empty cells reseed to the farthest
-    point."""
+    most ceil(train_cap / n_partitions) rows).  A bare
+    ``limit(train_cap)`` would read whatever the first partitions
+    yield — on a corpus laid out by source/time that is a biased
+    prefix (one shard's vectors), and partitioning-dependent to boot;
+    the per-partition cap spreads the sample across every shard at
+    the same cost.  (When n_partitions exceeds train_cap the cap
+    degenerates to 1-row-per-partition and the take is again a
+    partition-order prefix — of one row per shard, which is still far
+    less skewed than a whole-shard prefix; set train_fraction for a
+    truly uniform sample at that scale.)  The collected matrix is at
+    most train_cap x dim doubles (100k x 64 = 51 MB, a bounded driver
+    read by construction, NOT a corpus collect).  Deterministic for a
+    fixed file layout: seeded init, argmin ties resolve to the lowest
+    cell, empty cells reseed to the farthest point."""
     import numpy as np
 
     sampled = corpus.select(
@@ -140,7 +144,9 @@ def fit_ivf_centroids(corpus: DataFrame, n_cells: int = 16,
     if train_fraction < 1.0:
         sampled = sampled.sample(False, train_fraction, seed)
     n_parts = max(1, sampled.rdd.getNumPartitions())
-    per_part = max(1, train_cap // n_parts)
+    # ceil: uneven partitions then under-fill instead of the whole
+    # take landing short of train_cap
+    per_part = max(1, -(-train_cap // n_parts))
 
     def _take(it):
         import itertools

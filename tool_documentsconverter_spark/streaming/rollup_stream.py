@@ -70,21 +70,31 @@ def run_stream_rollup(spark: SparkSession, input_dir: str,
                       window: str = "1 hour",
                       watermark_delay: str = "30 minutes",
                       max_files_per_trigger: int = 1):
-    """availableNow run appending finalized windows to a parquet table
+    """availableNow run writing finalized windows to a parquet table
     via foreachBatch (the memory sink cannot recover from a
     checkpoint, so it cannot express the catch-up-then-stop restart
-    this operator exists for).  In append mode each (window,
-    event_type) row reaches the sink exactly once, so plain parquet
-    append IS the continuous aggregate table.  Returns the
-    StreamingQuery; caller awaits termination and reads
-    ``spark.read.parquet(output_dir)``."""
+    this operator exists for).
+
+    foreachBatch alone is AT-LEAST-ONCE: a crash between the sink
+    write and the checkpoint commit replays the batch on restart.  The
+    sink is therefore made idempotent by keying each micro-batch's
+    output on its ``batch_id`` (a ``batch_id=N`` partition directory,
+    written with overwrite) — a replayed batch rewrites its own
+    directory instead of appending duplicates, which upgrades the end
+    result to effective exactly-once.  Combined with append-mode
+    emission (each finalized window leaves the aggregation exactly
+    once), the directory IS the continuous aggregate table.  Returns
+    the StreamingQuery; caller awaits termination and reads
+    ``spark.read.parquet(output_dir)`` (the extra ``batch_id``
+    partition column is bookkeeping and can be dropped)."""
     rolled = windowed_rollup(
         read_event_stream(spark, input_dir, max_files_per_trigger),
         window, watermark_delay,
     )
 
     def _sink(batch_df, batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(output_dir)
+        (batch_df.write.mode("overwrite")
+         .parquet(f"{output_dir}/batch_id={batch_id}"))
 
     return (
         rolled.writeStream.outputMode("append")

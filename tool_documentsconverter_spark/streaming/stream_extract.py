@@ -19,7 +19,6 @@ rollup_stream.py (streaming twin of the batch events_rollup query).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from ..operators.extract import extract
 from ..schemas import TRANSCRIPTS
