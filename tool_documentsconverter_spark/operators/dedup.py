@@ -146,9 +146,14 @@ def cluster_duplicates(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     )
     sym = sym.localCheckpoint(eager=True)
+    # round 1 is free: label(v) = min(v, min neighbor) comes straight
+    # out of the edge aggregation, so the loop starts at round 2 —
+    # near-clique dedup graphs (diameter 1-2) then converge in ONE
+    # loop iteration (whose only job is confirming no label changed)
     labels = (
-        sym.select(F.col("id_a").alias("id")).distinct()
-        .withColumn("label", F.col("id"))
+        sym.groupBy(F.col("id_b").alias("id"))
+        .agg(F.min("id_a").alias("nmin"))
+        .select("id", F.least(F.col("id"), F.col("nmin")).alias("label"))
         .localCheckpoint(eager=True)
     )
     changed = 0
@@ -158,28 +163,26 @@ def cluster_duplicates(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             .groupBy(F.col("id_b").alias("id"))
             .agg(F.min("label").alias("nlabel"))
         )
+        # carry the previous label through the update so convergence is
+        # a filter over the checkpointed result — no labels-vs-new join
         new_labels = (
             labels.join(neighbor_min, on="id", how="left")
             .select(
                 "id",
+                F.col("label").alias("_old"),
                 F.least(F.col("label"),
                         F.coalesce("nlabel", F.col("label"))).alias("label"),
             )
             .localCheckpoint(eager=True)
         )
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
+            new_labels.where(F.col("label") != F.col("_old")).limit(1).count()
         )
-        # the previous round's checkpoint blocks are dead once the new
-        # labels are materialized; localCheckpoint blocks are NOT in
-        # the CacheManager, so Dataset.unpersist() cannot release them
-        # — dropping the Python/JVM reference here is what lets the
+        # localCheckpoint blocks are NOT in the CacheManager, so
+        # Dataset.unpersist() cannot release the previous round's —
+        # dropping the Python/JVM reference here is what lets the
         # ContextCleaner reclaim them between rounds
-        labels = new_labels
+        labels = new_labels.drop("_old")
         if changed == 0:
             break
     else:

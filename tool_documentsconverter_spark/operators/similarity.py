@@ -202,13 +202,18 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         raise ValueError(f"centroids has {len(centroids)} cells, "
                          f"expected n_cells={n_cells}")
 
-    # centroids as a BROADCAST table, not unrolled literal expressions:
-    # an n_cells x dim literal Column tree costs O(cells * dim) driver
-    # plan-build time and blows up codegen, while a broadcast join of
-    # n_cells tiny rows keeps the plan constant-size at ANY cell count
-    cents = spark.createDataFrame(
-        [(i, [float(v) for v in c]) for i, c in enumerate(centroids)],
-        "cell int, centroid array<double>",
+    # centroids as ONE broadcast row holding an array<array<double>>
+    # column — not unrolled literal expressions (an n_cells x dim
+    # literal Column tree costs O(cells * dim) driver plan-build time
+    # and blows up codegen), and not an n_cells-row table either: the
+    # earlier crossJoin(cells)+groupBy(argmin) shape paid a FULL
+    # CORPUS SHUFFLE just to assign cells.  With the array attached by
+    # a broadcast single-row join, the argmin is a higher-order
+    # aggregate evaluated per row inside the scan stage — ZERO
+    # shuffles between the parquet read and the probe join.
+    cent_arr = spark.createDataFrame(
+        [([[float(v) for v in c] for c in centroids],)],
+        "cents array<array<double>>",
     )
 
     def _d2(vec, cent):
@@ -218,26 +223,46 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
             F.lit(0.0), lambda a, v: a + v,
         )
 
-    # corpus cell = argmin over the broadcast centroids: min_by inside
-    # a map-side-combinable groupBy (n_cells rows per vector pre-agg)
+    def _argmin_cell(vec):
+        # min over (d2, cell) structs: deterministic tie-break on the
+        # lowest cell id, same semantics as the old struct-min groupBy
+        scored_cells = F.transform(
+            F.col("cents"),
+            lambda cent, i: F.struct(_d2(vec, cent).alias("d2"),
+                                     i.alias("cell")),
+        )
+        return F.array_min(scored_cells)["cell"]
+
     c = (
         corpus.select(F.col(id_col).alias("neighbor_id"),
                       F.col(vec_col).alias("cvec"))
-        .crossJoin(F.broadcast(cents))
-        .withColumn("d2", _d2(F.col("cvec"), F.col("centroid")))
-        .groupBy("neighbor_id")
-        .agg(F.min(F.struct("d2", "cell"))["cell"].alias("cell"),
-             F.first("cvec").alias("cvec"))
-    )  # struct-min: deterministic tie-break on the lowest cell id
+        .crossJoin(F.broadcast(cent_arr))
+        .withColumn("cell", _argmin_cell(F.col("cvec")))
+        .drop("cents")
+    )
 
-    # each query probes its n_probe nearest cells: rank centroid
-    # distances per query, keep n_probe -> equi-join key
+    # each query probes its n_probe nearest cells: rank all cell
+    # distances per query (the query side is small, so explode + window
+    # is cheap), keep n_probe -> equi-join key
     wq = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("cell"))
     q = (
         queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("qvec"))
-        .crossJoin(F.broadcast(cents))
-        .withColumn("d2", _d2(F.col("qvec"), F.col("centroid")))
+        .crossJoin(F.broadcast(cent_arr))
+        .select(
+            "query_id", "qvec",
+            F.explode(
+                F.transform(
+                    F.col("cents"),
+                    lambda cent, i: F.struct(
+                        _d2(F.col("qvec"), cent).alias("d2"),
+                        i.alias("cell"),
+                    ),
+                )
+            ).alias("dc"),
+        )
+        .select("query_id", "qvec", F.col("dc.d2").alias("d2"),
+                F.col("dc.cell").alias("cell"))
         .withColumn("cell_rank", F.row_number().over(wq))
         .where(F.col("cell_rank") <= n_probe)
         .select("query_id", "qvec", "cell")
