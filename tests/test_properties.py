@@ -68,6 +68,38 @@ def test_extract_never_raises(payload, hint):
     assert len(message) <= K.MESSAGE_TAIL
 
 
+@settings(max_examples=100, deadline=1000)
+@given(st.binary(max_size=4096))
+def test_ole_doc_fuzz_fails_fast(garbage):
+    """Binary-kernel robustness law: OLE magic + arbitrary bytes must
+    either parse or raise CLEANLY, quickly (the per-example deadline
+    catches a parser that loops on crafted FAT/piece-table sizes) —
+    the binary dispatch relies on kernels raising, never hanging."""
+    from tool_documentsconverter_spark.ole import extract_doc_text
+
+    payload = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + garbage
+    try:
+        out = extract_doc_text(payload)
+        assert isinstance(out, str)
+    except Exception:
+        pass  # clean failure is the contract; hanging is the bug
+
+
+@settings(max_examples=100, deadline=1000)
+@given(st.binary(max_size=4096))
+def test_xlsx_zip_fuzz_fails_fast(garbage):
+    """Same law for the ZIP+XML workbook reader: PK magic + garbage
+    must fail fast, not hang or return a non-workbook."""
+    from tool_documentsconverter_spark.kernels import parse_xlsx_bytes
+
+    payload = b"PK\x03\x04" + garbage
+    try:
+        sheets = parse_xlsx_bytes(payload)
+        assert isinstance(sheets, list)
+    except Exception:
+        pass
+
+
 @settings(max_examples=150, deadline=None)
 @given(st.text(max_size=200))
 def test_text_wrap_shape_law(text):
