@@ -305,8 +305,20 @@ def convert_doc(stem: str, payload: bytes) -> str:
 # --------------------------------------------------------------------------
 # E4/E5/E6 — DOCX (OOXML) DOM traversal
 # --------------------------------------------------------------------------
+_LOCAL_CACHE: dict = {}
+
+
 def _local(tag: str) -> str:
-    return tag.rsplit("}", 1)[-1]
+    # hot path: called once per XML element visit; the tag vocabulary
+    # of a schema is tiny, so a memo dict beats rsplit ~5x.  Bounded:
+    # adversarial XML with unbounded distinct tags falls back to the
+    # uncached path instead of growing executor memory.
+    v = _LOCAL_CACHE.get(tag)
+    if v is None:
+        v = tag.rsplit("}", 1)[-1]
+        if len(_LOCAL_CACHE) < 4096:
+            _LOCAL_CACHE[tag] = v
+    return v
 
 
 def _para_text(p_elem) -> str:
@@ -880,6 +892,7 @@ _TAG_RE = re.compile(
     re.DOTALL,
 )
 _RAW_TEXT_TAGS = {"script", "style"}
+_WS_COLLAPSE_RE = re.compile(r"\s+")
 
 
 def _fast_blocks(payload: str) -> List[_Block]:
@@ -912,7 +925,7 @@ def _fast_blocks(payload: str) -> List[_Block]:
                 frame = stack.pop(i)
                 raw = "".join(frame["parts"])
                 text = raw.strip() if tag == "pre" \
-                    else re.sub(r"\s+", " ", raw).strip()
+                    else _WS_COLLAPSE_RE.sub(" ", raw).strip()
                 blocks.append(
                     _Block(tag, text, frame["link"], len(text), frame["tags"])
                 )
