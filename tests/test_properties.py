@@ -72,32 +72,34 @@ def test_extract_never_raises(payload, hint):
 @given(st.binary(max_size=4096))
 def test_ole_doc_fuzz_fails_fast(garbage):
     """Binary-kernel robustness law: OLE magic + arbitrary bytes must
-    either parse or raise CLEANLY, quickly (the per-example deadline
-    catches a parser that loops on crafted FAT/piece-table sizes) —
-    the binary dispatch relies on kernels raising, never hanging."""
+    either parse to a str or raise CLEANLY and promptly (the
+    per-example deadline flags pathologically slow — though still
+    terminating — parses; a true infinite loop is out of hypothesis's
+    reach and is guarded in ole.py itself by the FAT cycle check).
+    The type assertion sits OUTSIDE the try so a wrong-type return
+    cannot be swallowed as a 'clean failure'."""
     from tool_documentsconverter_spark.ole import extract_doc_text
 
     payload = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + garbage
     try:
         out = extract_doc_text(payload)
-        assert isinstance(out, str)
     except Exception:
-        pass  # clean failure is the contract; hanging is the bug
+        return  # clean failure is the contract
+    assert isinstance(out, str)
 
 
 @settings(max_examples=100, deadline=1000)
 @given(st.binary(max_size=4096))
 def test_xlsx_zip_fuzz_fails_fast(garbage):
-    """Same law for the ZIP+XML workbook reader: PK magic + garbage
-    must fail fast, not hang or return a non-workbook."""
+    """Same law for the ZIP+XML workbook reader."""
     from tool_documentsconverter_spark.kernels import parse_xlsx_bytes
 
     payload = b"PK\x03\x04" + garbage
     try:
         sheets = parse_xlsx_bytes(payload)
-        assert isinstance(sheets, list)
     except Exception:
-        pass
+        return
+    assert isinstance(sheets, list)
 
 
 @settings(max_examples=150, deadline=None)

@@ -310,13 +310,15 @@ _LOCAL_CACHE: dict = {}
 
 def _local(tag: str) -> str:
     # hot path: called once per XML element visit; the tag vocabulary
-    # of a schema is tiny, so a memo dict beats rsplit ~5x.  Bounded:
-    # adversarial XML with unbounded distinct tags falls back to the
-    # uncached path instead of growing executor memory.
+    # of a schema is tiny, so a memo dict beats rsplit ~5x.  Bounded in
+    # BOTH entry count and entry size (4096 x <=256 chars ~= 1 MB
+    # worst case): adversarial XML with unbounded distinct or huge tag
+    # names falls back to the uncached path instead of pinning
+    # arbitrary bytes in executor memory for the process lifetime.
     v = _LOCAL_CACHE.get(tag)
     if v is None:
         v = tag.rsplit("}", 1)[-1]
-        if len(_LOCAL_CACHE) < 4096:
+        if len(tag) <= 256 and len(_LOCAL_CACHE) < 4096:
             _LOCAL_CACHE[tag] = v
     return v
 
