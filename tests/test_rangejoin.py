@@ -121,6 +121,25 @@ def test_ltz_bucketing_survives_dst_fall_back_fold(spark):
         spark.conf.set("spark.sql.session.timeZone", tz)
 
 
+def test_hot_key_bucket_skew_completes_exactly(spark):
+    """One key owning thousands of points in a single bucket is the
+    skew case AQE can split because the join is a plain equi-join;
+    verify counts stay exact under it (explode emits no duplicates
+    and the precise filter drops nothing it shouldn't)."""
+    n = 5000
+    intervals = spark.createDataFrame(
+        [(1, 10, _ts(0), _ts(3600))],
+        "iv_id int, k int, start timestamp, end timestamp",
+    )
+    points = spark.createDataFrame(
+        [(i, 10, _ts(i % 3600)) for i in range(n)],
+        "pt_id int, k int, ts timestamp",
+    )
+    out = range_join(intervals, points, key="k", start_col="start",
+                     end_col="end", ts_col="ts", bucket_seconds=3600)
+    assert out.count() == n
+
+
 def test_mixed_timestamp_types_rejected(frames):
     intervals, points = frames
     pts_ntz = points.selectExpr("pt_id", "k",
