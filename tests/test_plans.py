@@ -103,6 +103,21 @@ def test_bucketed_tables_join_without_exchange(spark):
         spark.sql("DROP TABLE IF EXISTS bj_b")
 
 
+def test_lsh_guard_shares_exchange_at_runtime(spark, sf_dir):
+    """The mega-bucket guard is a window count over exactly the
+    self-join keys, so the signature shuffle must be computed once and
+    REUSED for the other join side — AQE applies exchange reuse at
+    runtime, so the assertion reads the executed plan, not the
+    initial one."""
+    from tool_documentsconverter_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = minhash_lsh_pairs(docs, "doc_id", "text")
+    q.collect()
+    final = q._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "ReusedExchange" in final
+
+
 def test_markdown_wrap_is_codegen(docs):
     """The pure-column emitter must stay inside WholeStageCodegen —
     no Python/Arrow eval node in the plan."""
