@@ -815,6 +815,34 @@ def _q_ngram_jaccard(spark, sf_dir):
     )
 
 
+def _q_contamination(spark, sf_dir):
+    """Benchmark decontamination: every 50th document plays the
+    held-out benchmark; corpus documents sharing any word 3-shingle
+    with it are flagged with their distinct-overlap count."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 50 != 0)
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    return (
+        D.contamination_check(corpus, bench, "doc_id", "text")
+        .orderBy("doc_id")
+    )
+
+
+_SQL_CONTAMINATION = _SQL_SHINGLES_CTE.format(
+    where="WHERE doc_id % 50 <> 0") + """
+, bt AS (
+  SELECT string_split_regex(lower(trim(coalesce(text, ''))), '\\s+') AS t
+  FROM documents WHERE doc_id % 50 = 0
+), bsh AS (
+  SELECT DISTINCT array_to_string(list_slice(t, i + 1, i + 3), ' ') AS shingle
+  FROM bt, LATERAL unnest(range(0, greatest(len(t) - 3, 0) + 1)) AS u(i)
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS overlap_shingles
+FROM sh JOIN bsh USING (shingle)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 _SQL_NGRAM_JACCARD = _SQL_SHINGLES_CTE.format(where="WHERE doc_id < 100") + """
 , sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
 pairs AS (
@@ -1801,6 +1829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": _q_minhash_pairs,
         "dup_clusters": _q_dup_clusters,
         "ngram_jaccard": _q_ngram_jaccard,
+        "contamination_check": _q_contamination,
         "simhash": _q_simhash,
         "embedding_cosine_dups": _q_embedding_cosine_dups,
         "textstats": _q_textstats,
@@ -1856,6 +1885,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": _SQL_MINHASH_PAIRS,
         "dup_clusters": _SQL_DUP_CLUSTERS,
         "ngram_jaccard": _SQL_NGRAM_JACCARD,
+        "contamination_check": _SQL_CONTAMINATION,
         "simhash": _SQL_SIMHASH,
         "embedding_cosine_dups": _SQL_EMB_COSINE,
         "textstats": _SQL_TEXTSTATS,

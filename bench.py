@@ -81,6 +81,7 @@ def main() -> None:
         "broadcast_dim_join", "events_json", "asof_join", "range_join",
         "events_rollup", "dedup_exact",
         "minhash_lsh_pairs", "simhash", "embedding_cosine_dups",
+        "contamination_check",
         "dup_clusters", "textstats", "lang_id",
         "gopher_quality", "text_normalize_scrub",
         "ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk",

@@ -241,6 +241,32 @@ def ngram_jaccard(df: DataFrame, id_col: str, text_col: str,
     )
 
 
+def contamination_check(df: DataFrame, bench: DataFrame, id_col: str,
+                        text_col: str, k: int = 3) -> DataFrame:
+    """Benchmark decontamination: for every document, how many of its
+    word k-shingles appear anywhere in the benchmark set (the
+    C4/GPT-style train-test overlap check).  Output (id,
+    overlap_shingles) for documents with >= 1 hit — downstream drops
+    or flags them.
+
+    Scale shape: both sides reduce to DISTINCT shingle streams; the
+    benchmark side (small by construction — benchmarks are thousands
+    of documents, not billions) collapses to a distinct-shingle set
+    that Spark can broadcast, so the corpus-side cost is one
+    explode + one broadcast-join + one map-side-combinable count —
+    no corpus self-join, no shuffle of raw text."""
+    sh_docs = shingles(df, id_col, text_col, k)
+    sh_bench = (
+        shingles(bench, id_col, text_col, k)
+        .select("shingle").distinct()
+    )
+    return (
+        sh_docs.join(F.broadcast(sh_bench), on="shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("overlap_shingles"))
+    )
+
+
 def hashed_embedding(df: DataFrame, id_col: str, text_col: str,
                      dim: int = 16) -> DataFrame:
     """(id, vec: array<double>) — a deterministic feature-hashing
