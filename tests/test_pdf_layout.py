@@ -54,3 +54,21 @@ def test_md_pdf_sink_still_roundtrips():
     md = "# T\n\nalpha\nbeta"
     assert K.extract_pdf_text(
         K.markdown_to_pdf_bytes(md).decode("latin-1")) == md
+
+
+def test_malformed_positioning_tokens_do_not_fail_document():
+    # ADVICE r3: "1.2.3" / "." / "-" matched the old loose number class
+    # and float() raised, flipping the whole document to failed.  With
+    # the valid-float grammar the malformed op never forms; text ops
+    # still extract.
+    for bad in ("1.2.3 4 Td", ". 4 Td", "- 4 Td", "1..5 2 TD", "..7 TL"):
+        s = f"BT {bad} (hello) Tj ET"
+        pdf = f"%PDF-1.4\nstream\n{s}\nendstream\n"
+        assert "hello" in K.extract_pdf_text(pdf), bad
+
+
+def test_valid_floats_still_position():
+    # the tightened grammar must keep matching every legal float shape
+    s = "BT -.5 700.25 Td (low) Tj .5 14. Td (high) Tj ET"
+    pdf = f"%PDF-1.4\nstream\n{s}\nendstream\n"
+    assert K.extract_pdf_text(pdf) == "high\nlow"

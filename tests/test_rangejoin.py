@@ -162,3 +162,43 @@ def test_nonpositive_bucket_rejected(frames):
     with pytest.raises(ValueError, match="bucket_seconds"):
         range_join(intervals, points, key="k", start_col="start",
                    end_col="end", ts_col="ts", bucket_seconds=0)
+
+
+def test_oversized_interval_errors_with_diagnosable_message(spark):
+    # ADVICE r3: one corrupt interval (end=9999-12-31, small buckets)
+    # used to explode to ~2^31 sequence elements and kill the job with
+    # an opaque Spark error.  Default mode now names the offending key.
+    intervals = spark.createDataFrame(
+        [(1, 10, _ts(0), dt.datetime(9999, 12, 31))],
+        "iv_id int, k int, start timestamp, end timestamp",
+    )
+    points = spark.createDataFrame(
+        [(100, 10, _ts(50))], "pt_id int, k int, ts timestamp")
+    out = range_join(intervals, points, key="k", start_col="start",
+                     end_col="end", ts_col="ts", bucket_seconds=300,
+                     max_buckets_per_interval=1000)
+    with pytest.raises(Exception, match="range_join: interval spans"):
+        out.collect()
+
+
+def test_oversized_interval_drop_mode_isolates_bad_row(spark):
+    intervals = spark.createDataFrame(
+        [
+            (1, 10, _ts(0), _ts(100)),                    # sane
+            (2, 10, _ts(0), dt.datetime(9999, 12, 31)),   # corrupt
+        ],
+        "iv_id int, k int, start timestamp, end timestamp",
+    )
+    points = spark.createDataFrame(
+        [(100, 10, _ts(50))], "pt_id int, k int, ts timestamp")
+    out = range_join(intervals, points, key="k", start_col="start",
+                     end_col="end", ts_col="ts", bucket_seconds=300,
+                     max_buckets_per_interval=1000, on_oversized="drop")
+    assert [(r.iv_id, r.pt_id) for r in out.collect()] == [(1, 100)]
+
+
+def test_oversized_mode_validated(frames):
+    intervals, points = frames
+    with pytest.raises(ValueError, match="on_oversized"):
+        range_join(intervals, points, key="k", start_col="start",
+                   end_col="end", ts_col="ts", on_oversized="clamp")

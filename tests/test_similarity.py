@@ -113,3 +113,18 @@ def test_lsh_no_duplicate_pairs_across_bands(emb, queries):
                         dim=64).collect()
     seen = [(r.query_id, r.neighbor_id) for r in rows]
     assert len(seen) == len(set(seen))
+
+
+def test_ivf_empty_cell_reseeds_are_distinct(spark):
+    # ADVICE r3: every empty cell in a Lloyd's round used to reseed to
+    # the SAME farthest point, leaving duplicate centroids that can
+    # never separate.  Duplicate-heavy data with a few distinct
+    # outliers forces empty cells on round 1; with distinct successive
+    # reseeds the fitted centroids must be pairwise distinct.
+    rows = [(i, [0.0, 0.0, 0.0, 0.0]) for i in range(20)]
+    rows += [(20 + i, [v, v, v, v])
+             for i, v in enumerate((100.0, 200.0, 300.0, 400.0))]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    for seed in (0, 1, 42):
+        cents = SIM.fit_ivf_centroids(df, n_cells=5, seed=seed, n_iter=2)
+        assert len({tuple(round(v, 9) for v in c) for c in cents}) == 5

@@ -132,7 +132,14 @@ _PDF_TJ_ARRAY_RE = re.compile(r"\[(.*?)\]\s*TJ", re.DOTALL)
 _PDF_TEXTOP_RE = re.compile(
     r"\[(.*?)\]\s*TJ|\((?:[^()\\]|\\.)*\)\s*Tj", re.DOTALL
 )
-_NUM = r"-?[0-9.]+"
+# Valid-float grammar (digits, optional fraction | bare fraction): a
+# loose class like -?[0-9.]+ would also match "1.2.3" / "." / "-" and
+# the float() calls in the dispatch below would raise, flipping a
+# document that the pre-layout extractor converted fine to
+# status=failed.  With this grammar every match is float()-parseable;
+# malformed tokens simply never form a positioning op (the text ops
+# still extract).
+_NUM = r"-?(?:[0-9]+\.?[0-9]*|\.[0-9]+)"
 # text-showing ops PLUS the positioning operators that drive reading
 # order: Td/TD (line translate), Tm (set matrix; e,f = x,y), TL
 # (leading), T* (next line), BT (reset text matrix).  Branch order and

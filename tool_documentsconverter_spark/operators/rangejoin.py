@@ -63,7 +63,9 @@ def _epoch(df: DataFrame, col: str):
 
 def range_join(intervals: DataFrame, points: DataFrame, key: str,
                start_col: str, end_col: str, ts_col: str,
-               bucket_seconds: int = 3600) -> DataFrame:
+               bucket_seconds: int = 3600,
+               max_buckets_per_interval: int = 100_000,
+               on_oversized: str = "error") -> DataFrame:
     """Inner-join every `points` row onto every `intervals` row of the
     same `key` whose [start_col, end_col] (both INCLUSIVE) contains
     `ts_col`.  All three bound columns must be timestamps of the SAME
@@ -74,9 +76,20 @@ def range_join(intervals: DataFrame, points: DataFrame, key: str,
 
     Column names of the two inputs must not collide except `key`
     (rename before calling — this operator never guesses a prefix).
+
+    The interval-side explode is guarded by `max_buckets_per_interval`:
+    a single corrupt/outlier interval (e.g. end = 9999-12-31 with
+    bucket_seconds=300) would otherwise generate hundreds of millions
+    of bucket rows, and Spark's sequence() hard-errors past ~2^31
+    elements — one bad row killing the whole job.  `on_oversized`
+    picks the degradation: "error" (default) raises a diagnosable
+    error naming the offending key, "drop" filters oversized
+    intervals out of the join (isolating the bad rows).
     """
     if bucket_seconds <= 0:
         raise ValueError("bucket_seconds must be positive")
+    if on_oversized not in ("error", "drop"):
+        raise ValueError("on_oversized must be 'error' or 'drop'")
     overlap = set(intervals.columns) & set(points.columns) - {key}
     if overlap:
         raise ValueError(f"column collision between sides: {sorted(overlap)}")
@@ -91,15 +104,33 @@ def range_join(intervals: DataFrame, points: DataFrame, key: str,
             f"got {[t.__name__ for t in sorted(ts_types, key=str)]}"
         )
     b = F.lit(float(bucket_seconds))
-    li = intervals.withColumn(
-        _B,
-        F.explode(
-            F.sequence(
-                F.floor(_epoch(intervals, start_col) / b),
-                F.floor(_epoch(intervals, end_col) / b),
-            )
-        ),
-    )
+    b0 = F.floor(_epoch(intervals, start_col) / b)
+    b1 = F.floor(_epoch(intervals, end_col) / b)
+    span = b1 - b0 + F.lit(1)
+    oversized = span > F.lit(max_buckets_per_interval)
+    if on_oversized == "error":
+        # The guard is woven into the sequence END bound (not a
+        # separate projected-then-dropped column, which Catalyst would
+        # prune away without ever evaluating the raise_error).
+        end_bound = F.when(
+            oversized,
+            F.raise_error(F.concat(
+                F.lit(
+                    f"range_join: interval spans more than "
+                    f"{max_buckets_per_interval} buckets "
+                    f"(bucket_seconds={bucket_seconds}) at {key}="
+                ),
+                F.col(key).cast("string"),
+                F.lit(" — corrupt bounds? raise bucket_seconds/"
+                      "max_buckets_per_interval or use "
+                      "on_oversized='drop'"),
+            )).cast("bigint"),
+        ).otherwise(b1)
+        guarded = intervals
+    else:
+        end_bound = b1
+        guarded = intervals.where(~oversized)
+    li = guarded.withColumn(_B, F.explode(F.sequence(b0, end_bound)))
     rp = points.withColumn(_B, F.floor(_epoch(points, ts_col) / b))
     return (
         li.join(rp, on=[key, _B])

@@ -135,7 +135,7 @@ def fit_ivf_centroids(corpus: DataFrame, n_cells: int = 16,
     most train_cap x dim doubles (100k x 64 = 51 MB, a bounded driver
     read by construction, NOT a corpus collect).  Deterministic for a
     fixed file layout: seeded init, argmin ties resolve to the lowest
-    cell, empty cells reseed to the farthest point."""
+    cell, empty cells reseed to successive distinct farthest points."""
     import numpy as np
 
     sampled = corpus.select(
@@ -166,12 +166,18 @@ def fit_ivf_centroids(corpus: DataFrame, n_cells: int = 16,
         d2 = ((x * x).sum(1)[:, None] + (cents * cents).sum(1)[None, :]
               - 2.0 * (x @ cents.T))
         assign = d2.argmin(1)
+        # Empty cells reseed to SUCCESSIVE farthest points (by current
+        # assignment distance, each point used at most once per round)
+        # — reseeding every empty cell to the same argmax would create
+        # duplicate centroids that can never separate, permanently
+        # degrading partition quality (reduced-probe recall).
+        far_order = iter(np.argsort(-d2.min(1), kind="stable"))
         for j in range(n_cells):
             members = x[assign == j]
             if len(members):
                 cents[j] = members.mean(0)
-            else:  # empty cell: reseed to the globally farthest point
-                cents[j] = x[d2.min(1).argmax()]
+            else:
+                cents[j] = x[next(far_order)]
     return [c.tolist() for c in cents]
 
 
