@@ -1508,6 +1508,70 @@ ORDER BY media_id, frame_idx
 """
 
 
+def _q_media_headers(spark, sf_dir):
+    """Stdlib image-header decode, PRODUCTION path (use_stub unset; no
+    Pillow in this sandbox, so the pure-stdlib PNG-IHDR / JPEG-SOF0 /
+    GIF-screen-descriptor parse runs): 200 media assets whose payloads
+    are VALID container bytes built with known dimensions derived from
+    the id.  The oracle replays the id->dims formula, so a pass proves
+    the parser reads back exactly what the container writer encoded —
+    true dims for real image formats, hash-stub only for the junk rows
+    (operators/multimodal.py parse_image_header)."""
+    from tool_documentsconverter_spark.operators.multimodal import (
+        extract_media_features,
+    )
+    from tool_documentsconverter_spark.sources.transcripts import (
+        make_gif_bytes,
+        make_jpeg_bytes,
+        make_png_bytes,
+    )
+
+    rows = []
+    for i in range(200):
+        w, h = 16 + (i * 7) % 200, 16 + (i * 13) % 150
+        if i % 7 == 3:  # junk row: exercises the hash-stub fallback
+            rows.append((i, f"JUNKjunk-{i}".encode()))
+        elif i % 3 == 0:
+            rows.append((i, make_png_bytes(w, h)))
+        elif i % 3 == 1:
+            rows.append((i, make_jpeg_bytes(w, h)))
+        else:
+            rows.append((i, make_gif_bytes(w, h)))
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    return (
+        extract_media_features(df)
+        .select("media_id", "kind", "width", "height", "mode", "status")
+        .orderBy("media_id")
+    )
+
+
+# the id->dims construction formula, plus the md5 hash-stub replay for
+# the junk rows (their payloads are ASCII, so DuckDB's md5(VARCHAR)
+# reproduces _decode_stub: width = 16 + byte0, height = 16 + byte1 —
+# both digest bytes < 256, the stub's %640/%480 are identity)
+_SQL_MEDIA_HEADERS = """
+SELECT i AS media_id,
+       CASE WHEN i % 7 = 3 THEN 'unknown'
+            WHEN i % 3 = 0 THEN 'png'
+            WHEN i % 3 = 1 THEN 'jpeg'
+            ELSE 'gif' END AS kind,
+       CAST(CASE WHEN i % 7 = 3
+                 THEN 16 + CAST('0x' || substr(md5('JUNKjunk-' || i), 1, 2)
+                               AS INTEGER)
+                 ELSE 16 + (i * 7) % 200 END AS INTEGER) AS width,
+       CAST(CASE WHEN i % 7 = 3
+                 THEN 16 + CAST('0x' || substr(md5('JUNKjunk-' || i), 3, 2)
+                               AS INTEGER) % 480
+                 ELSE 16 + (i * 13) % 150 END AS INTEGER) AS height,
+       CASE WHEN i % 7 = 3 THEN 'STUB'
+            WHEN i % 3 = 2 THEN 'P'
+            ELSE 'RGB' END AS mode,
+       'ok' AS status
+FROM range(0, 200) t(i)
+ORDER BY media_id
+"""
+
+
 def _q_extract_dispatch(spark, sf_dir):
     from tool_documentsconverter_spark.operators.extract import extract
     from tool_documentsconverter_spark.sources.transcripts import synth_transcripts
@@ -1847,6 +1911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_lsh_ann,
         "ann_ivf_topk": _q_ivf_ann,
         "media_features": _q_media_features,
+        "media_headers": _q_media_headers,
         "media_resize": _q_media_resize,
         "frame_sample": _q_frame_sample,
         "md_pdf_roundtrip": _q_md_pdf_roundtrip,
@@ -1899,6 +1964,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_norms": _SQL_EMBEDDING_NORMS,
         "multimodal_meta": _SQL_MULTIMODAL,
         "media_features": _SQL_MEDIA_FEATURES,
+        "media_headers": _SQL_MEDIA_HEADERS,
         "media_resize": _SQL_MEDIA_RESIZE,
         "frame_sample": _SQL_FRAME_SAMPLE,
         "extract_dispatch": _SQL_EXTRACT_DISPATCH,

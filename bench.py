@@ -87,10 +87,22 @@ def main() -> None:
         "ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk",
         "corpus_curation", "xlsx_sheet_csv",
         "md_pdf_roundtrip", "docx_rich", "pdf_layout",
-        "media_resize", "frame_sample",
+        "media_resize", "frame_sample", "media_headers",
     ]:
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, SF_DIR).count())
+        # Sub-second queries sit at the host-noise floor (identical
+        # runs on this box vary up to ~2x at 0.3s absolute); take
+        # best-of-3 for them so a real plan regression is
+        # distinguishable from scheduler jitter.  Queries >= 1s are
+        # left single-shot: their signal already dominates the noise.
+        if timings[name] < 1.0:
+            best = timings[name]
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, SF_DIR).count()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 3)
 
     transcripts.unpersist()
     total = round(sum(timings.values()), 3)

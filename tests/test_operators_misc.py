@@ -132,3 +132,73 @@ def test_stream_extract_available_now(spark, tmp_path):
     q2 = run_stream_extract(spark, inp, out, ckpt)
     q2.awaitTermination(120)
     assert spark.read.parquet(out).count() == 120
+
+
+def test_parse_image_header_reads_back_written_dims():
+    from tool_documentsconverter_spark.operators.multimodal import (
+        parse_image_header,
+    )
+    from tool_documentsconverter_spark.sources.transcripts import (
+        make_gif_bytes, make_jpeg_bytes, make_png_bytes,
+    )
+
+    assert parse_image_header(make_png_bytes(123, 45)) == (123, 45, "RGB")
+    assert parse_image_header(make_jpeg_bytes(800, 600)) == (800, 600, "RGB")
+    assert parse_image_header(make_gif_bytes(64, 2)) == (64, 2, "P")
+    # 16-bit-boundary dims survive the endianness handling
+    assert parse_image_header(make_png_bytes(65535, 1))[:2] == (65535, 1)
+    assert parse_image_header(make_gif_bytes(65535, 1))[:2] == (65535, 1)
+
+
+def test_parse_image_header_rejects_truncated_and_junk():
+    import pytest
+
+    from tool_documentsconverter_spark.operators.multimodal import (
+        _decode_stdlib, _decode_stub, parse_image_header,
+    )
+
+    for bad in (b"JUNK", b"\x89PNG\r\n\x1a\nXXXX",
+                b"\xff\xd8\xff\xe0\x00\x04\x00\x00\xff\xd9",  # no SOF
+                b"GIF89a\x00\x00\x00\x00\x70\x00\x00;"):      # zero dims
+        with pytest.raises(ValueError):
+            parse_image_header(bad)
+        # the production no-PIL decoder falls back to the hash stub
+        assert _decode_stdlib(bad) == _decode_stub(bad)
+
+
+def test_media_features_true_dims_without_pil(spark):
+    # production path (use_stub unset, Pillow absent in this sandbox):
+    # real containers report REAL dims, junk reports stub dims
+    from tool_documentsconverter_spark.operators.multimodal import (
+        _decode_stub, extract_media_features,
+    )
+    from tool_documentsconverter_spark.sources.transcripts import (
+        make_jpeg_bytes, make_png_bytes,
+    )
+
+    junk = b"not an image"
+    df = spark.createDataFrame(
+        [(1, make_png_bytes(320, 200)), (2, make_jpeg_bytes(77, 33)),
+         (3, junk)],
+        "media_id long, payload binary",
+    )
+    rows = {r.media_id: r for r in extract_media_features(df).collect()}
+    assert (rows[1].width, rows[1].height, rows[1].mode) == (320, 200, "RGB")
+    assert (rows[2].width, rows[2].height, rows[2].mode) == (77, 33, "RGB")
+    w, h, m = _decode_stub(junk)
+    assert (rows[3].width, rows[3].height, rows[3].mode) == (w, h, m)
+
+
+def test_resize_media_uses_true_dims_without_pil(spark):
+    from tool_documentsconverter_spark.operators.multimodal import (
+        fit_within, resize_media,
+    )
+    from tool_documentsconverter_spark.sources.transcripts import (
+        make_png_bytes,
+    )
+
+    df = spark.createDataFrame(
+        [(1, make_png_bytes(400, 100))], "media_id long, payload binary")
+    r = resize_media(df, max_side=100).collect()[0]
+    assert (r.width, r.height) == (400, 100)
+    assert (r.out_width, r.out_height) == fit_within(400, 100, 100) == (100, 25)

@@ -1,12 +1,15 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata, processed via vectorized Arrow batches.
 
-The image/audio decode libraries are not in this container, so the
-decode step is STUBBED behind an import-try (a deterministic fake
-feature extractor runs instead, clearly marked).  Everything
-Spark-side — schema, batch shape, partitioning, failure isolation —
-is real and tested; swapping the stub for PIL/librosa at deploy time
-changes only `_decode_image_real`.
+The image/audio PIXEL-decode libraries are not in this container, so
+that step is gated behind an import-try; without Pillow the fallback
+still reports TRUE dimensions/mode for PNG, JPEG, and GIF via a pure
+stdlib header parse (`parse_image_header` — IHDR / SOFn / logical
+screen descriptor), and only unknown formats fall through to a
+deterministic fake extractor (clearly marked).  Everything Spark-side
+— schema, batch shape, partitioning, failure isolation — is real and
+tested; swapping in PIL/librosa at deploy time changes only
+`_decode_image_real`.
 """
 
 from __future__ import annotations
@@ -22,6 +25,7 @@ from pyspark.sql import functions as F
 MAGIC = {
     b"\xff\xd8\xff": "jpeg",
     b"\x89PNG": "png",
+    b"GIF8": "gif",  # GIF87a / GIF89a
     b"RIFF": "riff",  # wav/avi container
     b"ID3": "mp3",
 }
@@ -52,13 +56,87 @@ def _decode_stub(payload: bytes):
     return 16 + h[0] % 640, 16 + h[1] % 480, "STUB"
 
 
+_PNG_MODES = {0: "L", 2: "RGB", 3: "P", 4: "LA", 6: "RGBA"}
+# every SOF marker variant (baseline, progressive, arithmetic, ...)
+_JPEG_SOF = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+
+
+def parse_image_header(payload: bytes):
+    """TRUE (width, height, mode) from container header bytes — pure
+    stdlib, no pixel decode, no Pillow: PNG IHDR (the spec mandates it
+    as the first chunk), JPEG SOFn frame header (marker walk over the
+    segment lengths), GIF logical screen descriptor.  Raises
+    ValueError for anything unparseable so callers can fall back.
+    These three formats dominate real corpora; with this parse the
+    media metadata path reports real dimensions even where Pillow is
+    not installed (the hash stub remains only for unknown formats)."""
+    if payload.startswith(b"\x89PNG\r\n\x1a\n"):
+        if len(payload) >= 26 and payload[12:16] == b"IHDR":
+            w = int.from_bytes(payload[16:20], "big")
+            h = int.from_bytes(payload[20:24], "big")
+            if w and h:
+                return w, h, _PNG_MODES.get(payload[25], f"PNG:{payload[25]}")
+        raise ValueError("png: bad or missing IHDR")
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        if len(payload) >= 10:
+            w = int.from_bytes(payload[6:8], "little")
+            h = int.from_bytes(payload[8:10], "little")
+            if w and h:
+                return w, h, "P"  # GIF is always palette-indexed
+        raise ValueError("gif: bad logical screen descriptor")
+    if payload.startswith(b"\xff\xd8\xff"):
+        i, n = 2, len(payload)
+        while i + 1 < n:
+            if payload[i] != 0xFF:
+                raise ValueError("jpeg: lost marker sync")
+            while i < n and payload[i] == 0xFF:  # fill bytes
+                i += 1
+            if i >= n:
+                break
+            marker = payload[i]
+            i += 1
+            if marker == 0x01 or 0xD0 <= marker <= 0xD9:
+                continue  # standalone markers carry no length
+            if i + 2 > n:
+                break
+            seglen = int.from_bytes(payload[i:i + 2], "big")
+            if marker in _JPEG_SOF:
+                # segment: len(2) precision(1) height(2) width(2) ncomp(1)
+                if i + 8 > n:
+                    break
+                h = int.from_bytes(payload[i + 3:i + 5], "big")
+                w = int.from_bytes(payload[i + 5:i + 7], "big")
+                ncomp = payload[i + 7]
+                if w and h:
+                    return w, h, {1: "L", 3: "RGB", 4: "CMYK"}.get(
+                        ncomp, f"C{ncomp}")
+                raise ValueError("jpeg: zero dimensions in SOF")
+            if seglen < 2:
+                raise ValueError("jpeg: bad segment length")
+            i += seglen
+        raise ValueError("jpeg: no SOF marker found")
+    raise ValueError("not a recognized image header")
+
+
+def _decode_stdlib(payload: bytes):
+    """The no-Pillow production decoder: real header parse for
+    PNG/JPEG/GIF, deterministic hash stub only for everything else."""
+    try:
+        return parse_image_header(payload)
+    except ValueError:
+        return _decode_stub(payload)
+
+
 def _pick_decoder(use_stub):
     """Executor-side decoder choice.  use_stub=True pins the
     deterministic stub regardless of environment — the parity queries
     and stub unit tests need that, because their oracles replay the
     stub math and would diverge on a machine where Pillow happens to
     be installed (where PIL would *fail* on the fake text payloads).
-    use_stub=None probes for the real library (production default)."""
+    use_stub=None probes for the real library (production default);
+    without Pillow the fallback still reports TRUE dimensions for
+    PNG/JPEG/GIF via the stdlib header parse."""
     if use_stub:
         return _decode_stub, False
     try:
@@ -66,7 +144,7 @@ def _pick_decoder(use_stub):
 
         return _decode_image_real, True
     except ImportError:
-        return _decode_stub, False
+        return _decode_stdlib, False
 
 
 def _feature_batches(use_stub=None):
@@ -145,7 +223,7 @@ def _resize_batches(max_side: int, use_stub=None):
         # environment decides the decoder — a driver-side probe would
         # bake the driver's environment into the closure and fail (or
         # silently stub) on mismatched clusters
-        _, real = _pick_decoder(use_stub)
+        decode, real = _pick_decoder(use_stub)
 
         for batch in batches:
             names = batch.schema.names
@@ -177,7 +255,9 @@ def _resize_batches(max_side: int, use_stub=None):
                         img.save(buf, format="PNG")
                         out_bytes = buf.getvalue()
                     else:
-                        w, h, _mode = _decode_stub(payload)
+                        # header-aware when use_stub is unset: real
+                        # dims for PNG/JPEG/GIF, hash stub otherwise
+                        w, h, _mode = decode(payload)
                         tw, th = fit_within(w, h, max_side)
                         # deterministic fake pixels: content-addressed,
                         # dimension-tagged — NOT an image, stands in for

@@ -233,6 +233,50 @@ def make_pdf(i: int) -> str:
     )
 
 
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+
+def make_png_bytes(w: int, h: int) -> bytes:
+    """A fully VALID minimal RGB PNG (correct CRCs, zlib IDAT of black
+    pixels) — parse_image_header must read (w, h, 'RGB') from the
+    IHDR, and a real Pillow build decodes it identically (the
+    real-library parity suite reuses this fixture)."""
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    raw = b"".join(b"\x00" + bytes(3 * w) for _ in range(h))
+    return (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw, 9))
+            + _png_chunk(b"IEND", b""))
+
+
+def make_jpeg_bytes(w: int, h: int) -> bytes:
+    """A minimal JFIF byte stream: SOI + APP0 + SOF0 (3-component
+    baseline frame header carrying the true dimensions) + EOI.  No
+    entropy-coded scan — enough for every header parser (including
+    Pillow's) to report (w, h, 'RGB')."""
+    import struct
+
+    app0 = b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    sof0 = (b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
+            + b"\x01\x11\x00\x02\x11\x01\x03\x11\x01")
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def make_gif_bytes(w: int, h: int) -> bytes:
+    """GIF89a header + logical screen descriptor + trailer."""
+    import struct
+
+    return (b"GIF89a" + struct.pack("<HH", w, h)
+            + b"\x70\x00\x00" + b"\x3b")
+
+
 def payload_for(i: int, mix: str = "fixtures") -> Tuple[str, str]:
     """(text, fmt_hint) for row index i.
 
