@@ -1730,9 +1730,13 @@ FROM documents ORDER BY doc_id
 def _q_md_pdf_roundtrip(spark, sf_dir):
     """S8 sink consistency: wrap every document to Markdown, render the
     minimal deterministic PDF, re-extract the text with the repo's own
-    PDF reader, and verify byte equality against the latin-1-degraded
-    source (the operator's documented contract).  The oracle predicts
-    roundtrip_ok and the page count from the text alone."""
+    PDF reader, and verify byte equality against the SOURCE — all
+    documents, any length, any script (multi-page output joins
+    newline-exact via the %cont continuation marker; non-latin-1 text
+    rides the Identity-H CID hex path).  The oracle predicts
+    roundtrip_ok (now universally true — that universality is the
+    round-4 contract being checked) and the page count from the text
+    alone."""
     import pyarrow as pa
 
     from tool_documentsconverter_spark import kernels as K
@@ -1748,8 +1752,7 @@ def _q_md_pdf_roundtrip(spark, sf_dir):
                 md = K.wrap_text_md("d", text or "")
                 pdf = K.markdown_to_pdf_bytes(md)
                 back = K.extract_pdf_text(pdf.decode("latin-1"))
-                degraded = md.encode("latin-1", "replace").decode("latin-1")
-                oks.append(back == degraded)
+                oks.append(back == md)  # byte-exact vs the SOURCE
                 pages.append(md.count("\n") // K._PDF_PAGE_LINES + 1)
             yield pa.RecordBatch.from_pydict({
                 "doc_id": pa.array(ids, type=pa.int64()),
@@ -1763,18 +1766,16 @@ def _q_md_pdf_roundtrip(spark, sf_dir):
 
 
 # wrap_text_md adds exactly 5 newlines around the text; the PDF paginates
-# at 46 lines (kernels._PDF_PAGE_LINES).  The roundtrip is byte-exact on
-# latin-1-degraded input ONLY for single-page documents: extract_pdf_text
-# joins pages with '\n\n' where the source had '\n' at the page boundary,
-# so every multi-page doc honestly fails the byte check — the oracle
-# predicts exactly that (n_pages = 1), instead of hardcoding true and
-# relying on fixtures that happen to be newline-free (tests/test_md_pdf.py
-# pins both the single-page equality and the multi-page inequality).
+# at 46 lines (kernels._PDF_PAGE_LINES).  Since round 4 the round trip is
+# byte-exact for EVERY document — multi-page output re-joins newline-exact
+# through the %cont continuation marker and non-latin-1 text survives via
+# the Identity-H CID hex path — so the oracle predicts roundtrip_ok TRUE
+# universally; the n_pages prediction keeps the page-boundary math honest
+# (the engine side still physically renders and re-extracts every row;
+# tests/test_md_pdf.py pins the multi-page and CJK equality cases).
 _SQL_MD_PDF = """
 SELECT doc_id,
-       ((5 + length(coalesce(text, ''))
-         - length(replace(coalesce(text, ''), chr(10), ''))) // 46
-        + 1) = 1 AS roundtrip_ok,
+       TRUE AS roundtrip_ok,
        CAST((5 + length(coalesce(text, ''))
              - length(replace(coalesce(text, ''), chr(10), ''))) // 46
             + 1 AS INTEGER) AS n_pages

@@ -36,28 +36,51 @@ def test_pagination():
     assert len(flat) == 100
 
 
-def test_multipage_roundtrip_is_honestly_lossy():
-    """The documented contract: byte-exact round-trip ONLY while output
-    is one page; at every 46-line page break the extractor's '\\n\\n'
-    page join inserts one extra newline vs the source's '\\n'.  The
-    md_pdf_roundtrip oracle predicts roundtrip_ok = (n_pages == 1) —
-    this pins the behavior that prediction relies on."""
+def test_multipage_roundtrip_is_newline_exact():
+    """Pagination is invisible to the round trip: continuation pages
+    open with a %cont stream comment, so the extractor joins them with
+    '\\n' (not the '\\n\\n' paragraph join used for unmarked page
+    breaks) and multi-page output round-trips byte-equal."""
     md = "\n".join(f"line {i}" for i in range(100))  # 3 pages: 46+46+8
     pdf = K.markdown_to_pdf_bytes(md)
-    back = K.extract_pdf_text(pdf.decode("latin-1"))
-    assert back != md                      # lossy across page breaks...
-    assert back.replace("\n\n", "\n") == md  # ...by exactly the page join
-    # and the single-page claim stays byte-exact at the boundary (46
-    # lines = 45 newlines -> still one page)
+    assert pdf.count(b"%cont") == 2  # pages 2 and 3 are continuations
+    assert K.extract_pdf_text(pdf.decode("latin-1")) == md
+    # boundary: exactly 46 lines is still one page, no marker
     md1 = "\n".join(f"l{i}" for i in range(46))
+    pdf1 = K.markdown_to_pdf_bytes(md1)
+    assert b"%cont" not in pdf1
+    assert K.extract_pdf_text(pdf1.decode("latin-1")) == md1
+    # foreign multi-stream PDFs (no marker) keep the paragraph join
+    two = ("%PDF-1.4\nstream\nBT (a) Tj ET\nendstream\n"
+           "stream\nBT (b) Tj ET\nendstream\n")
+    assert K.extract_pdf_text(two) == "a\n\nb"
+
+
+def test_unicode_roundtrips_via_cid_hex():
+    """CJK (the reference corpus's own language), emoji, and mixed
+    lines survive the PDF sink byte-exact: non-latin-1 lines are
+    written as UTF-16BE hex strings under the Identity-H CID font."""
+    for md in ("中文段落：你好，世界\nascii line\n混合 mixed 行",
+               "🚀 emoji → astral pair",
+               "# 标题\n\n```text\n正文 body\n```"):
+        pdf = K.markdown_to_pdf_bytes(md)
+        assert K.extract_pdf_text(pdf.decode("latin-1")) == md
+        assert b"?" not in pdf.split(b"stream")[1]  # no degradation
+    # multi-page CJK: pagination + CID encoding compose
+    big = "\n".join(f"第{i}行" for i in range(100))
     assert K.extract_pdf_text(
-        K.markdown_to_pdf_bytes(md1).decode("latin-1")) == md1
+        K.markdown_to_pdf_bytes(big).decode("latin-1")) == big
 
 
-def test_unicode_degrades_not_crashes():
-    pdf = K.markdown_to_pdf_bytes("中文 🚀 ok")
-    text = K.extract_pdf_text(pdf.decode("latin-1"))
-    assert "ok" in text and "?" in text
+def test_hex_string_latin1_fallback():
+    # a 5-byte (odd) run can't be UTF-16BE: decodes per-byte latin-1
+    s = "BT <48656C6C6F> Tj ET"
+    pdf = f"%PDF-1.4\nstream\n{s}\nendstream\n"
+    assert K.extract_pdf_text(pdf) == "Hello"
+    # whitespace inside hex strings is legal and ignored
+    s2 = "BT <4F60 597D> Tj ET"  # UTF-16BE for 你好
+    pdf2 = f"%PDF-1.4\nstream\n{s2}\nendstream\n"
+    assert K.extract_pdf_text(pdf2) == "你好"
 
 
 def test_xref_offsets_valid():

@@ -150,6 +150,7 @@ _NUM = r"-?(?:[0-9]+\.?[0-9]*|\.[0-9]+)"
 # probing every named group.
 _PDF_LAYOUT_RE = re.compile(
     r"\((?P<tjlit>(?:[^()\\]|\\.)*)\)\s*Tj"
+    r"|<(?P<tjhex>[0-9A-Fa-f\s]*)>\s*Tj"
     r"|\[(?P<tj>.*?)\]\s*TJ"
     rf"|(?P<tdx>{_NUM})\s+(?P<tdy>{_NUM})\s+(?P<td>Td|TD)"
     rf"|(?P<tm>{_NUM}(?:\s+{_NUM}){{5}})\s+Tm"
@@ -183,6 +184,25 @@ def _pdf_unescape(s: str) -> str:
         out.append(c)
         i += 1
     return "".join(out)
+
+
+def _pdf_hex_text(hx: str) -> str:
+    """Decode a PDF hex string ``<...>``.  Even-length byte runs are
+    read as UTF-16BE (the encoding this repo's Identity-H CID sink
+    writes, declared code==Unicode by its ToUnicode CMap; unpaired
+    surrogates make the decode fail); anything else falls back to
+    per-byte latin-1 — the common single-byte-font case in foreign
+    PDFs."""
+    hx = "".join(hx.split())
+    if len(hx) % 2:
+        hx += "0"  # PDF 1.7 §7.3.4.3: odd final digit implies a 0
+    b = bytes.fromhex(hx)
+    if len(b) % 2 == 0:
+        try:
+            return b.decode("utf-16-be")
+        except UnicodeDecodeError:
+            pass
+    return b.decode("latin-1")
 
 
 def _pdf_paren_strings(chunk: str) -> List[str]:
@@ -230,11 +250,15 @@ def extract_pdf_text(payload: str) -> str:
     stream, the text matrix is tracked through the positioning
     operators (``Td``/``TD`` translate, ``Tm`` set, ``TL`` leading,
     ``T*`` next-line, ``BT`` reset), and every text-showing op
-    (``(..) Tj`` / ``[..] TJ``) is emitted as one line in READING
-    order — top-to-bottom (y desc), left-to-right (x asc), stream
-    order as the stable tie-break — so a page whose stream writes the
-    right column before the left still reads correctly.  Lines joined
-    with ``\\n``; streams (pages) joined with ``\\n\\n``.  Rotation
+    (``(..) Tj`` / ``<hex> Tj`` / ``[..] TJ``) is emitted as one line
+    in READING order — top-to-bottom (y desc), left-to-right (x asc),
+    stream order as the stable tie-break — so a page whose stream
+    writes the right column before the left still reads correctly.
+    Hex strings decode as UTF-16BE (this repo's CID sink encoding)
+    with a latin-1 fallback.  Lines joined with ``\\n``; streams
+    (pages) joined with ``\\n\\n``, except streams opening with the
+    ``%cont`` pagination marker, which continue the previous page's
+    line block with a single ``\\n``.  Rotation
     and column-first (newspaper) segmentation are out of scope —
     documented limitation; at production scale with pdfminer installed
     the real-library path is used and the fixtures are regenerated
@@ -264,6 +288,9 @@ def extract_pdf_text(payload: str) -> str:
                     text = _pdf_unescape(text)
                 ops.append((y, x, seq, text))
                 seq += 1
+            elif g == "tjhex":
+                ops.append((y, x, seq, _pdf_hex_text(t.group("tjhex"))))
+                seq += 1
             elif g == "tj":
                 parts = _pdf_paren_strings(t.group("tj"))
                 if parts:
@@ -286,7 +313,15 @@ def extract_pdf_text(payload: str) -> str:
                 x = y = 0.0  # BT resets the text matrix; TL persists
         if ops:
             ops.sort(key=lambda o: (-o[0], o[1], o[2]))
-            pages.append("\n".join(o[3] for o in ops))
+            text = "\n".join(o[3] for o in ops)
+            # a %cont comment opening the stream marks a PAGINATION
+            # continuation (this repo's own sink writes it): the page
+            # continues the previous line block, so join with '\n' —
+            # unmarked page breaks keep the '\n\n' paragraph join
+            if pages and chunk.lstrip().startswith(_PDF_CONT_MARKER):
+                pages[-1] = pages[-1] + "\n" + text
+            else:
+                pages.append(text)
     return "\n\n".join(pages)
 
 
@@ -1208,11 +1243,50 @@ def convert_workbook(stem: str, payload: str, sheet: Optional[str] = None):
 _PDF_ESCAPE = str.maketrans({"\\": r"\\", "(": r"\(", ")": r"\)"})
 _PDF_PAGE_LINES = 46          # (720 - 72) / 14pt leading
 _PDF_FONT_OBJ = """<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"""
+# F2: a non-embedded Type0/Identity-H CID font for lines that latin-1
+# cannot carry (CJK — the reference's own corpus language, see
+# /root/reference/README.md).  Text is written as UTF-16BE hex strings
+# and the Identity ToUnicode CMap below declares code == Unicode, so
+# any spec-compliant extractor (including this repo's) recovers the
+# exact source text.  Glyph RENDERING of CJK needs a viewer-side font
+# (no font program is embedded — executors shouldn't ship one); the
+# sink's contract is content preservation, which is what the
+# extraction round-trip verifies.
+_PDF_CID_FONT_OBJ = (
+    "<< /Type /Font /Subtype /Type0 /BaseFont /STSong-Light "
+    "/Encoding /Identity-H /DescendantFonts [5 0 R] /ToUnicode 6 0 R >>"
+)
+_PDF_CID_DESCENDANT_OBJ = (
+    "<< /Type /Font /Subtype /CIDFontType0 /BaseFont /STSong-Light "
+    "/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+    "/Supplement 0 >> /DW 1000 >>"
+)
+_PDF_TOUNICODE_CMAP = b"""/CIDInit /ProcSet findresource begin
+12 dict begin
+begincmap
+/CMapName /Adobe-Identity-UCS def
+/CMapType 2 def
+1 begincodespacerange
+<0000> <FFFF>
+endcodespacerange
+1 beginbfrange
+<0000> <FFFF> <0000>
+endbfrange
+endcmap
+CMapName currentdict /CMap defineresource pop
+end
+end"""
+# Continuation marker: a content-stream COMMENT (every PDF renderer
+# ignores %-comments inside streams) that this repo's extractor reads
+# as "this page continues the previous line block", making the
+# multi-page round trip newline-exact instead of inserting '\n\n' at
+# every 46-line pagination boundary.
+_PDF_CONT_MARKER = "%cont"
 
 
 def markdown_to_pdf_bytes(md: str) -> bytes:
-    """Minimal valid PDF-1.4 rendering of a Markdown text: one
-    Helvetica text line per source line, 46 lines/page, US-Letter.
+    """Minimal valid PDF-1.4 rendering of a Markdown text: one text
+    line per source line, 46 lines/page, US-Letter.
 
     Repo analog of the reference's md_to_pdf pipeline
     (md_to_pdf/main.py:65-69), which shells out to the external
@@ -1221,42 +1295,63 @@ def markdown_to_pdf_bytes(md: str) -> bytes:
     the sink is re-based on a deterministic stdlib writer: same
     capability (every .md becomes a .pdf), deterministic bytes, and
     round-trip verifiable with this repo's own extract_pdf_text
-    (tests/test_md_pdf.py).  Text is WinAnsi/latin-1 (Helvetica);
-    unmappable characters degrade to '?' — a documented limitation,
-    not a crash.
+    (tests/test_md_pdf.py).
 
-    Round-trip contract: extract_pdf_text(markdown_to_pdf_bytes(md))
-    is byte-equal to the latin-1-degraded source ONLY while the output
-    is a single page (md under 47 lines).  Multi-page output re-joins
-    pages with '\\n\\n' where the source had '\\n' at the 46-line
-    boundary, so the round-trip inserts one extra newline per page
-    break — documented, tested (test_md_pdf.py), and asserted honestly
-    by the md_pdf_roundtrip oracle (roundtrip_ok = n_pages == 1).
+    Text encoding per line: latin-1-safe lines are Helvetica (F1)
+    literal strings; anything else — CJK (the reference's own corpus
+    language), emoji, any Unicode — switches to the Identity-H CID
+    font (F2) and is written as a UTF-16BE hex string with an Identity
+    ToUnicode CMap, so no character ever degrades to '?'.
+
+    Round-trip contract (ALL inputs, any length):
+    extract_pdf_text(markdown_to_pdf_bytes(md)) == md, byte-exact.
+    Pagination is invisible to the round trip: continuation pages open
+    with a %cont stream comment (ignored by renderers) that this
+    repo's extractor reads as "join with '\\n', not '\\n\\n'".
     """
     lines = md.split("\n")
     pages = [lines[i:i + _PDF_PAGE_LINES]
              for i in range(0, len(lines), _PDF_PAGE_LINES)] or [[]]
 
-    # object numbering: 1 catalog, 2 pages, 3 font, then per page i:
-    # (4 + 2i) page object, (5 + 2i) its content stream
+    # object numbering: 1 catalog, 2 pages, 3 F1 font, 4 F2 Type0
+    # font, 5 its descendant CIDFont, 6 the ToUnicode CMap stream,
+    # then per page i: (7 + 2i) page object, (8 + 2i) content stream
     n_pages = len(pages)
     objs: List[bytes] = []
 
-    kids = " ".join(f"{4 + 2 * i} 0 R" for i in range(n_pages))
+    kids = " ".join(f"{7 + 2 * i} 0 R" for i in range(n_pages))
     objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
     objs.append(
         f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode())
     objs.append(_PDF_FONT_OBJ.encode())
+    objs.append(_PDF_CID_FONT_OBJ.encode())
+    objs.append(_PDF_CID_DESCENDANT_OBJ.encode())
+    objs.append(b"<< /Length %d >>\nstream\n%s\nendstream"
+                % (len(_PDF_TOUNICODE_CMAP), _PDF_TOUNICODE_CMAP))
     for i, page_lines in enumerate(pages):
         objs.append(
             (f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
-             f"/Resources << /Font << /F1 3 0 R >> >> "
-             f"/Contents {5 + 2 * i} 0 R >>").encode())
-        ops = ["BT /F1 11 Tf 72 720 Td 14 TL"]
+             f"/Resources << /Font << /F1 3 0 R /F2 4 0 R >> >> "
+             f"/Contents {8 + 2 * i} 0 R >>").encode())
+        ops = []
+        if i:  # continuation page: newline-exact join on extraction
+            ops.append(_PDF_CONT_MARKER)
+        ops.append("BT /F1 11 Tf 72 720 Td 14 TL")
+        cur_font = "F1"
         for line in page_lines:
-            safe = line.translate(_PDF_ESCAPE).encode(
-                "latin-1", "replace").decode("latin-1")
-            ops.append(f"({safe}) Tj T*")
+            try:
+                line.encode("latin-1")
+                font = "F1"
+            except UnicodeEncodeError:
+                font = "F2"
+            if font != cur_font:
+                ops.append(f"/{font} 11 Tf")
+                cur_font = font
+            if font == "F1":
+                ops.append(f"({line.translate(_PDF_ESCAPE)}) Tj T*")
+            else:
+                hx = line.encode("utf-16-be").hex().upper()
+                ops.append(f"<{hx}> Tj T*")
         ops.append("ET")
         stream = "\n".join(ops).encode("latin-1")
         objs.append(b"<< /Length %d >>\nstream\n%s\nendstream"
