@@ -336,7 +336,21 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     the OR across bands, so each band affords enough bits to stay
     selective (the production default 8x16 gives 65k buckets/band; a
     single-band low-bit signature would need huge buckets for the same
-    recall).  Candidates are deduped to (query, neighbor) BEFORE the
+    recall).
+
+    MEASURED recall at the 8x16 defaults (scripts/ann_recall.py,
+    BENCH/BASELINE.md round-4 table): near-duplicate retrieval —
+    the workload banded LSH exists for — finds a planted cos≈0.99
+    twin in the top-5 for 100/100 queries; but on ISOTROPIC
+    embeddings with no cosine margin the same config recalls ~0 of
+    the "true top-5" (per-band hit probability (1-θ/π)^bits collapses
+    at large θ), and no band/bit shape fixes that short of
+    brute-force-scale candidate fractions.  Use this operator for
+    near-dup/member lookup over clustered data; use ivf_topk for
+    general ANN over unclustered embeddings (measured 0.61-0.84
+    recall at n/4-n/2 candidates).
+
+    Candidates are deduped to (query, neighbor) BEFORE the
     vectors join back for scoring, so banding never re-scores a pair.
 
     `max_bucket` (default ON — production corpora are skewed) is the
