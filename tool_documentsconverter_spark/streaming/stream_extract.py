@@ -41,15 +41,34 @@ def read_transcript_stream(spark: SparkSession, input_dir: str,
 
 
 def run_stream_extract(spark: SparkSession, input_dir: str, output_dir: str,
-                       checkpoint_dir: str, available_now: bool = True):
+                       checkpoint_dir: str, available_now: bool = True,
+                       batch_hook=None):
     """Incremental extraction: each micro-batch runs the identical
-    Arrow extraction stage and appends to the output table.  Returns
-    the StreamingQuery (caller awaits termination)."""
+    Arrow extraction stage and lands in the output table.  Returns
+    the StreamingQuery (caller awaits termination).
+
+    EXACTLY-ONCE: foreachBatch is at-least-once by contract — a crash
+    after the sink write but before the checkpoint commit replays the
+    batch on restart — so the sink must be idempotent.  Each batch
+    OVERWRITES its own ``batch_id=N`` partition directory (the file
+    source is deterministic, so a replayed batch id carries the same
+    rows): a replay rewrites identical files instead of appending
+    duplicates.  ``mode("append")`` here would silently double rows
+    under crash-restart — pinned by
+    tests/test_stream_failure.py::test_crash_between_write_and_commit.
+
+    ``batch_hook(batch_id)`` is a test-only failure-injection point,
+    invoked AFTER the sink write and BEFORE foreachBatch returns
+    (i.e. before Spark commits the batch to the checkpoint) — raising
+    from it simulates dying in the at-least-once window."""
     stream = read_transcript_stream(spark, input_dir)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         out = extract(batch_df, hint_col="fmt_hint")
-        out.write.mode("append").parquet(output_dir)
+        out.write.mode("overwrite").parquet(
+            f"{output_dir}/batch_id={batch_id}")
+        if batch_hook is not None:
+            batch_hook(batch_id)
 
     writer = (
         stream.writeStream.foreachBatch(process_batch)
