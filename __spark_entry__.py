@@ -1268,6 +1268,112 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def _q_text_chunks(spark, sf_dir):
+    """Training-prep chunking over a deterministic hash sample: keep
+    the md5-bucketed 50% of documents (reproducible across runs,
+    cluster sizes, and engines — df.sample() is none of those), then
+    slide a 32-token window with stride 24 (8-token overlap).  Zero
+    shuffles: the sample is a filter, the chunk fan-out an explode."""
+    from tool_documentsconverter_spark.operators.textprep import (
+        chunk_documents,
+        hash_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        chunk_documents(hash_sample(docs, 0.5), chunk_tokens=32, stride=24)
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+_SQL_TEXT_CHUNKS = r"""
+WITH sampled AS (
+  SELECT doc_id, string_split_regex(coalesce(text, ''), '\s+') AS toks
+  FROM documents
+  WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+        < 2147483648
+), n AS (
+  SELECT doc_id, toks,
+         greatest(1, CAST(ceil((len(toks) - 32) / 24.0) AS INTEGER) + 1)
+           AS n_chunks
+  FROM sampled
+)
+SELECT doc_id,
+       CAST(k AS INTEGER) AS chunk_idx,
+       array_to_string(list_slice(toks, k * 24 + 1, k * 24 + 32), ' ')
+         AS chunk_text,
+       CAST(len(list_slice(toks, k * 24 + 1, k * 24 + 32)) AS INTEGER)
+         AS n_tokens
+FROM n, LATERAL unnest(range(0, n_chunks)) AS u(k)
+ORDER BY doc_id, chunk_idx
+"""
+
+
+def _q_stratified_sample(spark, sf_dir):
+    """Exactly 5 documents per language stratum, picked by md5 hash
+    order of doc_id — a deterministic reservoir the oracle replays
+    with the same window."""
+    from tool_documentsconverter_spark.operators.textprep import (
+        stratified_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return (
+        stratified_sample(docs, strata_col="lang", k=5)
+        .orderBy("lang", "doc_id")
+    )
+
+
+_SQL_STRATIFIED = """
+SELECT doc_id, lang, source FROM (
+  SELECT doc_id, lang, source,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+) WHERE rn <= 5
+ORDER BY lang, doc_id
+"""
+
+
+def _q_seq_packing(spark, sf_dir):
+    """Concat-and-split sequence packing: within each source shard,
+    documents in doc_id order form one token stream cut into 256-token
+    training windows; a document belongs to the bin where it starts.
+    The per-doc manifest (bin, offset) is what a trainer's loader
+    shuffles — and the window math is fully SQL-replayable."""
+    from tool_documentsconverter_spark.operators.textprep import (
+        pack_sequences,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("source", "doc_id", "text")
+    return (
+        pack_sequences(docs, budget_tokens=256, part_col="source")
+        .orderBy("source", "doc_id")
+    )
+
+
+_SQL_SEQ_PACKING = r"""
+WITH t AS (
+  SELECT source, doc_id,
+         CAST(len(string_split_regex(coalesce(text, ''), '\s+')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+), w AS (
+  SELECT source, doc_id, n_tokens,
+         CAST(sum(n_tokens) OVER (
+                PARTITION BY source ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - n_tokens AS BIGINT) AS tok_offset
+  FROM t
+)
+SELECT source, doc_id, n_tokens, tok_offset,
+       CAST(floor(tok_offset / 256.0) AS BIGINT) AS bin
+FROM w
+ORDER BY source, doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline: similarity search over embeddings
 # ---------------------------------------------------------------------------
@@ -1902,6 +2008,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": _q_gopher_quality,
         "lang_id": _q_langid,
         "corpus_curation": _q_corpus_curation,
+        "text_chunks": _q_text_chunks,
+        "stratified_sample": _q_stratified_sample,
+        "seq_packing": _q_seq_packing,
         "ann_brute_topk": _q_ann_brute,
         "embedding_norms": _q_embedding_norms,
         "multimodal_meta": _q_multimodal_meta,
@@ -1959,6 +2068,9 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality": _SQL_GOPHER,
         "lang_id": _SQL_LANGID,
         "corpus_curation": _SQL_CURATION,
+        "text_chunks": _SQL_TEXT_CHUNKS,
+        "stratified_sample": _SQL_STRATIFIED,
+        "seq_packing": _SQL_SEQ_PACKING,
         "ann_brute_topk": _SQL_ANN_BRUTE,
         "ann_ivf_topk": _SQL_ANN_BRUTE,  # full probe == exact top-k
         "ann_lsh_topk": _SQL_ANN_LSH,

@@ -85,7 +85,8 @@ def main() -> None:
         "dup_clusters", "textstats", "lang_id",
         "gopher_quality", "text_normalize_scrub",
         "ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk",
-        "corpus_curation", "xlsx_sheet_csv",
+        "corpus_curation", "text_chunks", "seq_packing",
+        "xlsx_sheet_csv",
         "md_pdf_roundtrip", "docx_rich", "pdf_layout",
         "media_resize", "frame_sample", "media_headers",
     ]:

@@ -1,0 +1,133 @@
+"""Training-data preparation operators: sliding-window chunking,
+deterministic sampling, and fixed-budget sequence packing.
+
+These are the steps between a curated corpus and a tokenizer/trainer:
+long documents become overlapping context-window chunks, the corpus is
+down-sampled reproducibly (overall or per stratum), and documents are
+packed into fixed token-budget training sequences.  Everything is pure
+Column expressions (codegen, no Python in the hot path) and every
+random-looking choice is an md5 hash of row identity — deterministic,
+cluster-size-independent, and replayable by the DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textstats import TOKEN_SPLIT_RE
+
+
+def chunk_documents(df: DataFrame, chunk_tokens: int = 128,
+                    stride: int = 96, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Sliding-window chunking: each document becomes
+    ceil((n_tokens - chunk_tokens) / stride) + 1 overlapping chunks of
+    at most ``chunk_tokens`` whitespace tokens, starting every
+    ``stride`` tokens (overlap = chunk_tokens - stride).  The final
+    chunk is short rather than padded; every token appears in at least
+    one chunk.
+
+    Scale shape: tokenize-explode-slice is one narrow projection + one
+    explode — no shuffle at all (chunk rows inherit the scan's
+    partitioning), and the explode fan-out is bounded by
+    n_tokens/stride per row.  Output: (id, chunk_idx, chunk_text,
+    n_tokens) with chunk_idx dense from 0 per document.
+    """
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    if stride > chunk_tokens:
+        raise ValueError(
+            "stride > chunk_tokens would skip tokens between chunks")
+    toks = F.split(F.coalesce(F.col(text_col), F.lit("")), TOKEN_SPLIT_RE)
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((n - F.lit(chunk_tokens)) / F.lit(stride)).cast("int")
+        + F.lit(1),
+    )
+    out = df.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        F.explode(F.sequence(F.lit(0), n_chunks - F.lit(1)))
+        .alias("chunk_idx"),
+    )
+    piece = F.slice(F.col("_toks"),
+                    F.col("chunk_idx") * stride + 1, chunk_tokens)
+    return out.select(
+        id_col,
+        "chunk_idx",
+        F.array_join(piece, " ").alias("chunk_text"),
+        F.size(piece).alias("n_tokens"),
+    )
+
+
+def hash_sample(df: DataFrame, fraction: float,
+                id_col: str = "doc_id", salt: str = "") -> DataFrame:
+    """Deterministic Bernoulli sampling: keep a row iff the first 8
+    hex digits of md5(salt || id) fall under ``fraction`` of the 32-bit
+    space.  Unlike ``df.sample`` this is a pure filter — reproducible
+    across runs, cluster sizes, AND engines (the oracle replays it),
+    stable under re-partitioning, and different salts give independent
+    draws (train/held-out splits)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt),
+                                   F.col(id_col).cast("string"))), 1, 8),
+        16, 10,
+    ).cast("bigint")
+    return df.where(bucket < F.lit(int(fraction * 2**32)))
+
+
+def stratified_sample(df: DataFrame, strata_col: str, k: int,
+                      id_col: str = "doc_id") -> DataFrame:
+    """EXACTLY min(k, |stratum|) rows per stratum, chosen by md5 hash
+    order of the row id — a deterministic reservoir that every engine
+    reproduces (no RNG state, no seed-per-partition coupling).
+
+    Scale shape: one hash-partitioned window per stratum.  A hot
+    stratum serializes through one task the way any per-group top-k
+    does; for percentage-style sampling of huge strata use
+    :func:`hash_sample` (a shuffle-free filter) instead."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    w = Window.partitionBy(strata_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def pack_sequences(df: DataFrame, budget_tokens: int = 1024,
+                   part_col: str = "source", id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Concat-and-split sequence packing: within each ``part_col``
+    shard, documents are laid out in ``id_col`` order as one token
+    stream and cut into fixed ``budget_tokens`` windows; a document
+    belongs to the bin where it STARTS (documents crossing a boundary
+    spill into the next window, exactly like concat-then-chunk
+    training prep).  Output: one row per document with its bin and
+    intra-shard token offset — the trainer's shuffle-and-load manifest.
+
+    Scale shape: one window per shard (the cumulative sum); shards are
+    independent token streams, so the parallelism unit is the shard —
+    pack within natural shards (source, date, bucket), never globally
+    (a global ORDER BY cumsum is one task at any cluster size).
+    """
+    if budget_tokens <= 0:
+        raise ValueError("budget_tokens must be positive")
+    toks = F.size(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), TOKEN_SPLIT_RE))
+    w = Window.partitionBy(part_col).orderBy(id_col)
+    cum = F.sum(toks).over(w)
+    start = (cum - toks).cast("bigint")
+    return df.select(
+        part_col,
+        id_col,
+        toks.cast("bigint").alias("n_tokens"),
+        start.alias("tok_offset"),
+        F.floor(start / F.lit(budget_tokens)).cast("bigint").alias("bin"),
+    )
