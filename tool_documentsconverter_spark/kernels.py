@@ -132,14 +132,15 @@ _PDF_TJ_ARRAY_RE = re.compile(r"\[(.*?)\]\s*TJ", re.DOTALL)
 _PDF_TEXTOP_RE = re.compile(
     r"\[(.*?)\]\s*TJ|\((?:[^()\\]|\\.)*\)\s*Tj", re.DOTALL
 )
-# Valid-float grammar (digits, optional fraction | bare fraction): a
-# loose class like -?[0-9.]+ would also match "1.2.3" / "." / "-" and
-# the float() calls in the dispatch below would raise, flipping a
-# document that the pre-layout extractor converted fine to
-# status=failed.  With this grammar every match is float()-parseable;
-# malformed tokens simply never form a positioning op (the text ops
-# still extract).
-_NUM = r"-?(?:[0-9]+\.?[0-9]*|\.[0-9]+)"
+# Deliberately LOOSE number class: it also matches invalid float
+# literals ("1.2.3", ".", "-"), so every float() in the dispatch below
+# is guarded by try/except — a malformed positioning token skips that
+# one op (text still extracts) instead of failing the document.  The
+# valid-float grammar -?(?:[0-9]+\.?[0-9]*|\.[0-9]+) was measured ~5%
+# slower on the whole PDF kernel (this regex runs at every digit
+# position of every stream); the guard costs nothing on the valid
+# path.
+_NUM = r"-?[0-9.]+"
 # text-showing ops PLUS the positioning operators that drive reading
 # order: Td/TD (line translate), Tm (set matrix; e,f = x,y), TL
 # (leading), T* (next line), BT (reset text matrix).  Branch order and
@@ -297,16 +298,25 @@ def extract_pdf_text(payload: str) -> str:
                     ops.append((y, x, seq, "".join(parts)))
                     seq += 1
             elif g == "td":
-                x += float(t.group("tdx"))
-                ty = float(t.group("tdy"))
+                try:  # loose _NUM class: see its comment
+                    dx, ty = float(t.group("tdx")), float(t.group("tdy"))
+                except ValueError:
+                    continue  # malformed op: skip, keep the text
+                x += dx
                 y += ty
                 if t.group("td") == "TD":  # TD also sets leading = -ty
                     tl = -ty
             elif g == "tm":
                 nums = t.group("tm").split()
-                x, y = float(nums[4]), float(nums[5])
+                try:
+                    x, y = float(nums[4]), float(nums[5])
+                except ValueError:
+                    continue
             elif g == "tl":
-                tl = float(t.group("tl"))
+                try:
+                    tl = float(t.group("tl"))
+                except ValueError:
+                    continue
             elif g == "tstar":
                 y -= tl
             elif g == "bt":
