@@ -1615,13 +1615,14 @@ ORDER BY media_id, frame_idx
 
 
 def _q_media_headers(spark, sf_dir):
-    """Stdlib image-header decode, PRODUCTION path (use_stub unset; no
-    Pillow in this sandbox, so the pure-stdlib PNG-IHDR / JPEG-SOF0 /
-    GIF-screen-descriptor parse runs): 200 media assets whose payloads
-    are VALID container bytes built with known dimensions derived from
-    the id.  The oracle replays the id->dims formula, so a pass proves
-    the parser reads back exactly what the container writer encoded —
-    true dims for real image formats, hash-stub only for the junk rows
+    """Stdlib image-header decode (use_stub="stdlib" PINS the
+    header-parse+hash-fallback decoder — the oracle replays both the
+    id->dims formula and the junk-row hash math, so the query must not
+    probe Pillow, which would fail the junk rows): 200 media assets
+    whose payloads are VALID container bytes built with known
+    dimensions derived from the id.  A pass proves the parser reads
+    back exactly what the container writer encoded — true dims for
+    real image formats, hash-stub only for the junk rows
     (operators/multimodal.py parse_image_header)."""
     from tool_documentsconverter_spark.operators.multimodal import (
         extract_media_features,
@@ -1645,7 +1646,7 @@ def _q_media_headers(spark, sf_dir):
             rows.append((i, make_gif_bytes(w, h)))
     df = spark.createDataFrame(rows, "media_id long, payload binary")
     return (
-        extract_media_features(df)
+        extract_media_features(df, use_stub="stdlib")
         .select("media_id", "kind", "width", "height", "mode", "status")
         .orderBy("media_id")
     )
@@ -1857,7 +1858,11 @@ def _q_md_pdf_roundtrip(spark, sf_dir):
             for text in texts:
                 md = K.wrap_text_md("d", text or "")
                 pdf = K.markdown_to_pdf_bytes(md)
-                back = K.extract_pdf_text(pdf.decode("latin-1"))
+                # force_stdlib: the byte-exact contract belongs to THIS
+                # writer/extractor pair — pdfminer (when installed)
+                # produces correct but non-byte-contractual layout text
+                back = K.extract_pdf_text(pdf.decode("latin-1"),
+                                          force_stdlib=True)
                 oks.append(back == md)  # byte-exact vs the SOURCE
                 pages.append(md.count("\n") // K._PDF_PAGE_LINES + 1)
             yield pa.RecordBatch.from_pydict({

@@ -73,18 +73,10 @@ def main() -> None:
 
     # LSH on its PRODUCTION workload — near-duplicate retrieval: 100
     # perturbed twins (cos ~ 0.99) are planted in the corpus and the
-    # metric is "twin retrieved in the approximate top-k".
-    import random
-
-    rnd = random.Random(7)
-    aug = []
-    for r in emb.collect():
-        v = [float(x) for x in r.embedding]
-        aug.append((r.vec_id, v))
-        if r.vec_id < 100:
-            aug.append((100_000 + r.vec_id,
-                        [x + rnd.gauss(0, 0.05 * abs(x) + 0.01)
-                         for x in v]))
+    # metric is "twin retrieved in the approximate top-k".  The twin
+    # generator is shared with the pytest floor (plant_neardup_twins)
+    # so the baseline and the guard measure the same workload.
+    aug = SIM.plant_neardup_twins(emb.collect(), n_twins=100)
     corpus = spark.createDataFrame(
         aug, "vec_id long, embedding array<float>").cache()
     twin_q = corpus.where(F.col("vec_id") < 100)

@@ -65,22 +65,58 @@ def test_unicode_roundtrips_via_cid_hex():
                "# 标题\n\n```text\n正文 body\n```"):
         pdf = K.markdown_to_pdf_bytes(md)
         assert K.extract_pdf_text(pdf.decode("latin-1")) == md
-        assert b"?" not in pdf.split(b"stream")[1]  # no degradation
+        # no '?' degradation in any PAGE content stream (the first
+        # stream in the file is the ToUnicode CMap — skip it)
+        for blob in pdf.split(b"\nstream\n")[2:]:
+            assert b"?" not in blob.split(b"endstream")[0]
     # multi-page CJK: pagination + CID encoding compose
     big = "\n".join(f"第{i}行" for i in range(100))
     assert K.extract_pdf_text(
         K.markdown_to_pdf_bytes(big).decode("latin-1")) == big
 
 
-def test_hex_string_latin1_fallback():
-    # a 5-byte (odd) run can't be UTF-16BE: decodes per-byte latin-1
-    s = "BT <48656C6C6F> Tj ET"
+def test_hex_decode_gated_on_identity_h_declaration():
+    # WITHOUT /Identity-H in the document, hex strings are single-byte
+    # font codes: <48656C6C> is 'Hell', not UTF-16BE mojibake '䡥汬'
+    s = "BT <48656C6C> Tj ET"
     pdf = f"%PDF-1.4\nstream\n{s}\nendstream\n"
-    assert K.extract_pdf_text(pdf) == "Hello"
-    # whitespace inside hex strings is legal and ignored
+    assert K.extract_pdf_text(pdf) == "Hell"
+    # WITH the declaration, even-length runs are UTF-16BE (whitespace
+    # inside the hex string is legal and ignored)
     s2 = "BT <4F60 597D> Tj ET"  # UTF-16BE for 你好
-    pdf2 = f"%PDF-1.4\nstream\n{s2}\nendstream\n"
+    pdf2 = ("%PDF-1.4\n1 0 obj << /Encoding /Identity-H >> endobj\n"
+            f"stream\n{s2}\nendstream\n")
     assert K.extract_pdf_text(pdf2) == "你好"
+    # odd byte runs are never UTF-16BE even when declared
+    pdf3 = ("%PDF-1.4\n1 0 obj << /Encoding /Identity-H >> endobj\n"
+            "stream\nBT <48656C6C6F> Tj ET\nendstream\n")
+    assert K.extract_pdf_text(pdf3) == "Hello"
+
+
+def test_endstream_in_source_text_roundtrips():
+    """A document whose TEXT contains the stream keywords used to
+    truncate extraction at the embedded 'endstream' (silently losing
+    the rest of the document); the writer now octal-escapes it."""
+    md = "foo endstream bar\nstream\nendstreamendstream\ntail line"
+    pdf = K.markdown_to_pdf_bytes(md)
+    assert K.extract_pdf_text(pdf.decode("latin-1"),
+                              force_stdlib=True) == md
+
+
+def test_force_stdlib_skips_pdfminer_probe():
+    # the round-trip contract pins this repo's extractor even when
+    # pdfminer is importable; with it absent both paths must agree
+    md = "# T\n\nplain"
+    pdf = K.markdown_to_pdf_bytes(md).decode("latin-1")
+    assert K.extract_pdf_text(pdf, force_stdlib=True) == md
+
+
+def test_octal_escapes_unescape():
+    s = r"BT (\145scaped \x \50paren\51 \764) Tj ET"
+    pdf = f"%PDF-1.4\nstream\n{s}\nendstream\n"
+    # \145='e', \x -> literal x (unknown escape keeps the char),
+    # \50/\51 = parens, \764 = 0x1F4 masked to 0xF4
+    assert K.extract_pdf_text(pdf) == "escaped \\x (paren) \xf4"
 
 
 def test_xref_offsets_valid():

@@ -139,17 +139,7 @@ def test_lsh_production_defaults_retrieve_neardup_twins(spark, emb):
     no cosine margin the same config recalls ~0 of the 'true top-5' —
     measured in scripts/ann_recall.py / BENCH/BASELINE.md — which is
     why general ANN over unclustered embeddings should use ivf_topk.)"""
-    import random
-
-    rnd = random.Random(7)
-    aug = []
-    for r in emb.collect():
-        v = [float(x) for x in r.embedding]
-        aug.append((r.vec_id, v))
-        if r.vec_id < 50:
-            aug.append((100_000 + r.vec_id,
-                        [x + rnd.gauss(0, 0.05 * abs(x) + 0.01)
-                         for x in v]))
+    aug = SIM.plant_neardup_twins(emb.collect(), n_twins=50)
     corpus = spark.createDataFrame(
         aug, "vec_id long, embedding array<float>")
     twin_q = corpus.where(F.col("vec_id") < 50)

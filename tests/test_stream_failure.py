@@ -73,7 +73,14 @@ def test_crash_between_write_and_commit(spark, tmp_path, reference_run):
 def test_crash_then_restart_then_new_data(spark, tmp_path, reference_run):
     """After a crash-restart cycle the stream still picks up NEW files
     exactly once."""
-    inp, expected = reference_run
+    ref_inp, expected = reference_run
+    # PRIVATE copy of the input dir: this test appends new files, and
+    # mutating the module-scoped fixture's directory would poison any
+    # test that runs after this one under reordering (xdist, --lf)
+    import shutil as _sh
+
+    inp = str(tmp_path / "in")
+    _sh.copytree(ref_inp, inp)
     out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
 
     armed = {"v": True}

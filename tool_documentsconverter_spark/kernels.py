@@ -182,23 +182,35 @@ def _pdf_unescape(s: str) -> str:
                 out.append("\t")
                 i += 2
                 continue
+            if nxt in "01234567":  # octal escape \d, \dd, or \ddd
+                j = i + 1
+                while j < min(i + 4, len(s)) and s[j] in "01234567":
+                    j += 1
+                out.append(chr(int(s[i + 1:j], 8) & 0xFF))
+                i = j
+                continue
         out.append(c)
         i += 1
     return "".join(out)
 
 
-def _pdf_hex_text(hx: str) -> str:
-    """Decode a PDF hex string ``<...>``.  Even-length byte runs are
-    read as UTF-16BE (the encoding this repo's Identity-H CID sink
-    writes, declared code==Unicode by its ToUnicode CMap; unpaired
-    surrogates make the decode fail); anything else falls back to
-    per-byte latin-1 — the common single-byte-font case in foreign
-    PDFs."""
+def _pdf_hex_text(hx: str, utf16: bool) -> str:
+    """Decode a PDF hex string ``<...>``.  ``utf16`` says whether this
+    DOCUMENT declares an ``/Identity-H`` CID encoding (the caller
+    checks once per payload): only then are even-length byte runs read
+    as UTF-16BE — the encoding this repo's CID sink writes, declared
+    code==Unicode by its ToUnicode CMap.  Without that declaration the
+    bytes are a single-byte font's codes and decode per-byte latin-1;
+    guessing UTF-16BE there would turn ordinary ASCII hex strings
+    (``<48656C6C>``) into CJK mojibake — and the reverse guess would
+    shred this sink's CJK (你好 = ``4F60 597D``, four bytes that are
+    ALL printable ASCII, so no content heuristic can distinguish the
+    two cases; the font declaration can)."""
     hx = "".join(hx.split())
     if len(hx) % 2:
         hx += "0"  # PDF 1.7 §7.3.4.3: odd final digit implies a 0
     b = bytes.fromhex(hx)
-    if len(b) % 2 == 0:
+    if utf16 and len(b) % 2 == 0:
         try:
             return b.decode("utf-16-be")
         except UnicodeDecodeError:
@@ -238,7 +250,7 @@ def _pdf_paren_strings(chunk: str) -> List[str]:
     return res
 
 
-def extract_pdf_text(payload: str) -> str:
+def extract_pdf_text(payload: str, force_stdlib: bool = False) -> str:
     """Text extraction from a (simple, uncompressed) PDF byte-stream.
 
     The reference delegates to ``pdfminer.high_level.extract_text``
@@ -255,8 +267,9 @@ def extract_pdf_text(payload: str) -> str:
     in READING order — top-to-bottom (y desc), left-to-right (x asc),
     stream order as the stable tie-break — so a page whose stream
     writes the right column before the left still reads correctly.
-    Hex strings decode as UTF-16BE (this repo's CID sink encoding)
-    with a latin-1 fallback.  Lines joined with ``\\n``; streams
+    Hex strings decode as UTF-16BE only when the document declares an
+    ``/Identity-H`` encoding (this repo's CID sink does), latin-1
+    otherwise — see _pdf_hex_text.  Lines joined with ``\\n``; streams
     (pages) joined with ``\\n\\n``, except streams opening with the
     ``%cont`` pagination marker, which continue the previous page's
     line block with a single ``\\n``.  Rotation
@@ -264,6 +277,13 @@ def extract_pdf_text(payload: str) -> str:
     documented limitation; at production scale with pdfminer installed
     the real-library path is used and the fixtures are regenerated
     against it (SURVEY.md §7 hard-part (a)).
+
+    ``force_stdlib=True`` skips the pdfminer probe: the byte-exact
+    md→PDF round-trip contract (markdown_to_pdf_bytes' docstring, the
+    md_pdf_roundtrip oracle) is a property of THIS writer/extractor
+    pair — pdfminer produces its own layout text (form-feed page
+    joins, layout whitespace), which is correct extraction but not
+    byte-contractual, so round-trip checks must pin the stdlib pair.
     """
     global _PDFMINER
     if _PDFMINER is None:  # probe the real library exactly once
@@ -273,8 +293,9 @@ def extract_pdf_text(payload: str) -> str:
             _PDFMINER = extract_text
         except ImportError:
             _PDFMINER = False
-    if _PDFMINER:
+    if _PDFMINER and not force_stdlib:
         return _PDFMINER(io.BytesIO(payload.encode("latin-1", "replace")))
+    utf16_hex = "/Identity-H" in payload
     pages: List[str] = []
     for m in _PDF_STREAM_RE.finditer(payload):
         chunk = m.group(1)
@@ -290,7 +311,8 @@ def extract_pdf_text(payload: str) -> str:
                 ops.append((y, x, seq, text))
                 seq += 1
             elif g == "tjhex":
-                ops.append((y, x, seq, _pdf_hex_text(t.group("tjhex"))))
+                ops.append((y, x, seq,
+                            _pdf_hex_text(t.group("tjhex"), utf16_hex)))
                 seq += 1
             elif g == "tj":
                 parts = _pdf_paren_strings(t.group("tj"))
@@ -1358,7 +1380,14 @@ def markdown_to_pdf_bytes(md: str) -> bytes:
                 ops.append(f"/{font} 11 Tf")
                 cur_font = font
             if font == "F1":
-                ops.append(f"({line.translate(_PDF_ESCAPE)}) Tj T*")
+                safe = line.translate(_PDF_ESCAPE)
+                # a raw 'endstream' inside the text would terminate
+                # the non-greedy stream scan early (silently losing
+                # the rest of the document); the octal escape \145
+                # ('e') is byte-different but decodes identically
+                if "endstream" in safe:
+                    safe = safe.replace("endstream", r"\145ndstream")
+                ops.append(f"({safe}) Tj T*")
             else:
                 hx = line.encode("utf-16-be").hex().upper()
                 ops.append(f"<{hx}> Tj T*")

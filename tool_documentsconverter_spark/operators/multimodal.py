@@ -134,9 +134,15 @@ def _pick_decoder(use_stub):
     and stub unit tests need that, because their oracles replay the
     stub math and would diverge on a machine where Pillow happens to
     be installed (where PIL would *fail* on the fake text payloads).
+    use_stub="stdlib" pins the header-parse+hash-stub decoder the same
+    way (the media_headers oracle replays BOTH the id->dims formula
+    and the junk-row hash math, so that query must never probe PIL —
+    PIL raises on the junk payloads where the stub hashes them).
     use_stub=None probes for the real library (production default);
     without Pillow the fallback still reports TRUE dimensions for
     PNG/JPEG/GIF via the stdlib header parse."""
+    if use_stub == "stdlib":
+        return _decode_stdlib, False
     if use_stub:
         return _decode_stub, False
     try:

@@ -108,6 +108,29 @@ def lsh_signature(vec, n_planes: int, dim: int):
     return F.concat(*[hyperplane_sign(vec, p, dim) for p in range(n_planes)])
 
 
+def plant_neardup_twins(rows, n_twins: int = 100, seed: int = 7,
+                        id_offset: int = 100_000) -> list:
+    """Augment collected (vec_id, embedding) rows with a perturbed
+    near-duplicate twin (cos ~ 0.99: per-component gaussian noise
+    0.05·|x|+0.01) for each of the first ``n_twins`` ids.  This is the
+    ONE definition of the twin-recall workload behind the measured LSH
+    number in BENCH/BASELINE.md (scripts/ann_recall.py) and its pytest
+    floor (tests/test_similarity.py) — shared so the baseline and the
+    regression guard cannot drift apart."""
+    import random
+
+    rnd = random.Random(seed)
+    aug = []
+    for r in rows:
+        v = [float(x) for x in r.embedding]
+        aug.append((r.vec_id, v))
+        if r.vec_id < n_twins:
+            aug.append((id_offset + r.vec_id,
+                        [x + rnd.gauss(0, 0.05 * abs(x) + 0.01)
+                         for x in v]))
+    return aug
+
+
 def fit_ivf_centroids(corpus: DataFrame, n_cells: int = 16,
                       seed: int = 42, train_cap: int = 100_000,
                       train_fraction: float = 1.0, n_iter: int = 10,
