@@ -1095,6 +1095,73 @@ FROM m ORDER BY doc_id
 """
 
 
+# mojibake suffix injected into every document for the repair query:
+# cp1252-damaged forms of ' " ” — é « » ° plus the Â+nbsp pair; the
+#  entry exercises the latin-1 (unmapped-in-cp1252) variant
+_MOJI_SUFFIX = (" itâ€™s â€œquoted"
+                "â€ â€” cafÃ© "
+                "Â«gÂ» 25Â° "
+                "endÂ here")
+
+
+def _q_mojibake_repair(spark, sf_dir):
+    """Double-encoding (UTF-8 read as cp1252) repair: every document
+    gets a deterministically corrupted suffix; fix_mojibake's replace
+    chain must restore it, and the oracle replays the SAME chain
+    (generated from the one MOJIBAKE_FIXES table, so engine and oracle
+    cannot drift).  chars_saved pins how many bytes the repair
+    recovered."""
+    from tool_documentsconverter_spark.functions.text import fix_mojibake
+
+    docs = _t(spark, sf_dir, "documents")
+    corrupted = F.concat(F.coalesce(F.col("text"), F.lit("")),
+                         F.lit(_MOJI_SUFFIX))
+    repaired = fix_mojibake(corrupted)
+    return docs.select(
+        "doc_id",
+        repaired.alias("repaired"),
+        (F.length(corrupted) - F.length(repaired))
+        .cast("int").alias("chars_saved"),
+    ).orderBy("doc_id")
+
+
+def _sql_mojibake() -> str:
+    """Oracle generated from MOJIBAKE_FIXES — one source of truth for
+    both engines' replace chains."""
+    from tool_documentsconverter_spark.functions.text import MOJIBAKE_FIXES
+
+    def lit(s: str) -> str:
+        # embed non-ASCII / control chars via chr() so the SQL string
+        # survives any transport encoding
+        parts, buf = [], []
+        for ch in s:
+            if 0x20 <= ord(ch) < 0x7F and ch != "'":
+                buf.append(ch)
+            else:
+                if buf:
+                    parts.append("'" + "".join(buf) + "'")
+                    buf = []
+                parts.append(f"chr({ord(ch)})")
+        if buf:
+            parts.append("'" + "".join(buf) + "'")
+        return " || ".join(parts) if parts else "''"
+
+    expr = "corrupted"
+    for bad, good in MOJIBAKE_FIXES:
+        expr = f"replace({expr}, {lit(bad)}, {lit(good)})"
+    return f"""
+WITH m AS (
+  SELECT doc_id, coalesce(text, '') || {lit(_MOJI_SUFFIX)} AS corrupted
+  FROM documents
+), r AS (
+  SELECT doc_id, corrupted, {expr} AS repaired FROM m
+)
+SELECT doc_id, repaired,
+       CAST(length(corrupted) - length(repaired) AS INTEGER) AS chars_saved
+FROM r ORDER BY doc_id
+"""
+
+
 def _q_gopher_quality(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
@@ -2010,6 +2077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_dups": _q_embedding_cosine_dups,
         "textstats": _q_textstats,
         "text_normalize_scrub": _q_normalize_scrub,
+        "mojibake_repair": _q_mojibake_repair,
         "gopher_quality": _q_gopher_quality,
         "lang_id": _q_langid,
         "corpus_curation": _q_corpus_curation,
@@ -2070,6 +2138,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_cosine_dups": _SQL_EMB_COSINE,
         "textstats": _SQL_TEXTSTATS,
         "text_normalize_scrub": _SQL_NORMALIZE_SCRUB,
+        "mojibake_repair": _sql_mojibake(),
         "gopher_quality": _SQL_GOPHER,
         "lang_id": _SQL_LANGID,
         "corpus_curation": _SQL_CURATION,

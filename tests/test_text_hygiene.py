@@ -56,3 +56,38 @@ def test_gopher_keep_verdicts(spark):
     ).collect()}
     assert got[0] is True
     assert got[1] is False  # duplicate-line fraction kills it
+
+
+def test_fix_mojibake(spark):
+    from tool_documentsconverter_spark.functions.text import fix_mojibake
+
+    damaged = "it\u00e2\u20ac\u2122s \u00e2\u20ac\u0153fine\u00e2\u20ac\u009d \u00e2\u20ac\u201d caf\u00c3\u00a9 na\u00c3\u00afve?  25\u00c2\u00b0 \u00c2\u00abhi\u00c2\u00bb"
+    out = _one(spark, damaged, fix_mojibake(F.col("text")))
+    # every table sequence repaired; \u00c3\u00af (damaged 'ï') is NOT
+    # in the table and passes through — coverage is explicit, not magic
+    assert out == "it\u2019s \u201cfine\u201d \u2014 caf\u00e9 na\u00c3\u00afve?  25\u00b0 \u00abhi\u00bb"
+    # clean text (incl. real accents/CJK) passes through untouched
+    clean = "it\u2019s fine \u2014 caf\u00e9 \u4e2d\u6587 \u00abok\u00bb 25\u00b0"
+    assert _one(spark, clean, fix_mojibake(F.col("text"))) == clean
+    assert _one(spark, None, fix_mojibake(F.col("text"))) == ""
+
+
+def test_fix_mojibake_matches_cp1252_roundtrip(spark):
+    # every table entry IS the WHATWG windows-1252 mis-decode of its
+    # target's UTF-8 bytes (WHATWG, which browsers and most real-world
+    # decoders follow, maps the bytes cp1252 leaves undefined — e.g.
+    # 0x9D — to the corresponding C1 controls; Python's strict cp1252
+    # raises there instead) — regenerate and compare
+    from tool_documentsconverter_spark.functions.text import MOJIBAKE_FIXES
+
+    def whatwg_cp1252(raw: bytes) -> str:
+        out = []
+        for byte in raw:
+            try:
+                out.append(bytes([byte]).decode("cp1252"))
+            except UnicodeDecodeError:
+                out.append(chr(byte))
+        return "".join(out)
+
+    for bad, good in MOJIBAKE_FIXES:
+        assert bad == whatwg_cp1252(good.encode("utf-8")), (bad, good)

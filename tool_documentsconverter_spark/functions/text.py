@@ -67,6 +67,60 @@ def normalize_text(col: Column) -> Column:
     return F.regexp_replace(out, r"^\s+|\s+$", "")
 
 
+# Mojibake repair table: the UTF-8 byte sequence of each target char
+# mis-decoded as cp1252 (the classic double-encoding corruption, e.g.
+# "â€™" for "'").  U+201D additionally appears in its latin-1 form
+# (0x9D is unmapped in cp1252, so decoders emit the raw C1 control).
+# A full general repair is a re-encode round trip (ftfy's approach),
+# which needs charset functions the SQL oracle lacks; this table
+# covers the high-frequency sequences with plain replace() that both
+# engines execute identically.  ORDER MATTERS: the 3-byte "â€x"
+# punctuation sequences must run before any 2-byte "Ã\x80-ÂX" letter
+# fix could consume their lead bytes (none do today, but keep the
+# punctuation block first).
+MOJIBAKE_FIXES = [
+    ("â€™", "’"),   # â€™  -> '
+    ("â€˜", "‘"),   # â€˜  -> '
+    ("â€œ", "“"),   # â€œ  -> "
+    ("â€", "”"),   # â€ + C1 9D -> "
+    ("â€”", "—"),   # â€”  -> em dash
+    ("â€“", "–"),   # â€“  -> en dash
+    ("â€¦", "…"),   # â€¦  -> ellipsis
+    ("â€¢", "•"),   # â€¢  -> bullet
+    ("Ã©", "é"),         # Ã©  -> é
+    ("Ã¨", "è"),         # Ã¨  -> è
+    ("Ã¡", "á"),         # Ã¡  -> á
+    ("Ã³", "ó"),         # Ã³  -> ó
+    ("Ãº", "ú"),         # Ãº  -> ú
+    ("Ã¤", "ä"),         # Ã¤  -> ä
+    ("Ã¶", "ö"),         # Ã¶  -> ö
+    ("Ã¼", "ü"),         # Ã¼  -> ü
+    ("ÃŸ", "ß"),         # ÃŸ  -> ß
+    ("Ã±", "ñ"),         # Ã±  -> ñ
+    ("Ã§", "ç"),         # Ã§  -> ç
+    ("Â°", "°"),         # Â°  -> °
+    ("Â·", "·"),         # Â·  -> ·
+    ("Â»", "»"),         # Â»  -> »
+    ("Â«", "«"),         # Â«  -> «
+    ("Â ", " "),         # Â + nbsp -> nbsp (pure encoding
+                              # repair; normalize_text folds nbsp->space)
+]
+
+
+def fix_mojibake(col: Column) -> Column:
+    """Repair the classic UTF-8-read-as-cp1252 double-encoding damage
+    ("â€™" -> "'", "Ã©" -> "é", ...) with a chain of literal
+    replacements — stays inside codegen, and the DuckDB oracle replays
+    the same replace() chain byte-for-byte.  See MOJIBAKE_FIXES for
+    coverage and ordering; clean text passes through unchanged (none
+    of the corrupt lead bytes â/Ã/Â followed by these exact trail
+    chars occur in well-formed prose)."""
+    out = F.coalesce(col, F.lit(""))
+    for bad, good in MOJIBAKE_FIXES:
+        out = F.replace(out, F.lit(bad), F.lit(good))
+    return out
+
+
 def scrub_pii(col: Column,
               email_token: str = "<EMAIL>",
               url_token: str = "<URL>",

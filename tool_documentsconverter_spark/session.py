@@ -47,6 +47,15 @@ def get_spark(app: str = "tool-documentsconverter-spark",
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # v2 commit: tasks rename straight into the destination instead
+        # of the driver serially renaming every task's output at job
+        # end.  The v1 driver rename loop is LEVEL-INDEPENDENT serial
+        # time (same absolute cost at N and 4N executors), so it eats
+        # scaling efficiency directly; v2's task-side rename is part of
+        # the parallel work.  Dynamic partition overwrite keeps its own
+        # staged-commit correctness either way.
+        .config("spark.hadoop.mapreduce.fileoutputcommitter"
+                ".algorithm.version", "2")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.driver.memory",
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
