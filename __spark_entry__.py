@@ -1109,8 +1109,9 @@ def _q_mojibake_repair(spark, sf_dir):
     gets a deterministically corrupted suffix; fix_mojibake's replace
     chain must restore it, and the oracle replays the SAME chain
     (generated from the one MOJIBAKE_FIXES table, so engine and oracle
-    cannot drift).  chars_saved pins how many bytes the repair
-    recovered."""
+    cannot drift).  chars_saved pins the CHARACTER-length delta of the
+    repair (each 3-char "â€x" collapses to 1 char = 2 saved; byte
+    deltas would be larger and are not what either engine computes)."""
     from tool_documentsconverter_spark.functions.text import fix_mojibake
 
     docs = _t(spark, sf_dir, "documents")

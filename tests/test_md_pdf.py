@@ -91,6 +91,12 @@ def test_hex_decode_gated_on_identity_h_declaration():
     pdf3 = ("%PDF-1.4\n1 0 obj << /Encoding /Identity-H >> endobj\n"
             "stream\nBT <48656C6C6F> Tj ET\nendstream\n")
     assert K.extract_pdf_text(pdf3) == "Hello"
+    # the whole Adobe UCS-2 CMap family counts as a 2-byte declaration,
+    # not just Identity-H — a UniGB-UCS2-H (Chinese) PDF decodes CJK
+    for enc in ("/UniGB-UCS2-H", "/UniJIS-UCS2-V", "/Identity-V"):
+        pdfn = (f"%PDF-1.4\n1 0 obj << /Encoding {enc} >> endobj\n"
+                f"stream\n{s2}\nendstream\n")
+        assert K.extract_pdf_text(pdfn) == "你好", enc
 
 
 def test_endstream_in_source_text_roundtrips():
@@ -103,11 +109,16 @@ def test_endstream_in_source_text_roundtrips():
                               force_stdlib=True) == md
 
 
-def test_force_stdlib_skips_pdfminer_probe():
+def test_force_stdlib_skips_pdfminer_probe(monkeypatch):
     # the round-trip contract pins this repo's extractor even when
-    # pdfminer is importable; with it absent both paths must agree
+    # pdfminer is importable — simulate an installed pdfminer whose
+    # output differs; the forced path must never call it (a pass with
+    # pdfminer merely absent would not pin the gate at all)
     md = "# T\n\nplain"
     pdf = K.markdown_to_pdf_bytes(md).decode("latin-1")
+    monkeypatch.setattr(K, "_PDFMINER",
+                        lambda _fh: "PDFMINER LAYOUT TEXT")
+    assert K.extract_pdf_text(pdf) == "PDFMINER LAYOUT TEXT"
     assert K.extract_pdf_text(pdf, force_stdlib=True) == md
 
 

@@ -161,6 +161,15 @@ _PDF_LAYOUT_RE = re.compile(
     re.DOTALL,
 )
 _PDFMINER = None  # one-shot import probe cache (None=unprobed, False=absent)
+# Markers that a document's hex strings carry 2-byte (UCS-2/UTF-16BE-
+# compatible) codes: Identity-H/V plus the Adobe UCS-2 CMap family
+# (UniGB/UniJIS/UniKS/UniCNS-UCS2-H/V).  Checked payload-global — a
+# blunt but cheap heuristic (a page whose TEXT merely mentions one of
+# these names would flip the flag); precise handling would track the
+# current font's declared encoding per text op, which the
+# uncompressed-fallback scanner deliberately does not model.
+_PDF_UTF16_MARK_RE = re.compile(
+    r"/(?:Identity-[HV]|Uni(?:GB|JIS|KS|CNS)-UCS2-[HV])")
 
 
 def _pdf_unescape(s: str) -> str:
@@ -295,7 +304,7 @@ def extract_pdf_text(payload: str, force_stdlib: bool = False) -> str:
             _PDFMINER = False
     if _PDFMINER and not force_stdlib:
         return _PDFMINER(io.BytesIO(payload.encode("latin-1", "replace")))
-    utf16_hex = "/Identity-H" in payload
+    utf16_hex = bool(_PDF_UTF16_MARK_RE.search(payload))
     pages: List[str] = []
     for m in _PDF_STREAM_RE.finditer(payload):
         chunk = m.group(1)

@@ -198,10 +198,12 @@ def _feature_batches(use_stub=None):
 
 def extract_media_features(df: DataFrame, id_col: str = "media_id",
                            payload_col: str = "payload",
-                           use_stub: bool | None = None) -> DataFrame:
+                           use_stub: bool | str | None = None) -> DataFrame:
     """(media_id, payload:binary) -> typed metadata row per asset.
-    ``use_stub=True`` pins the deterministic fake decoder (see
-    _pick_decoder); default None probes for PIL executor-side."""
+    ``use_stub=True`` pins the deterministic fake decoder,
+    ``use_stub="stdlib"`` pins the header-parse+hash-fallback decoder
+    (both environment-independent — what the parity oracles replay;
+    see _pick_decoder); default None probes for PIL executor-side."""
     src = df.select(F.col(id_col).alias("media_id"),
                     F.col(payload_col).alias("payload"))
     return src.mapInArrow(
@@ -296,13 +298,14 @@ def _resize_batches(max_side: int, use_stub=None):
 def resize_media(df: DataFrame, max_side: int = 256,
                  id_col: str = "media_id",
                  payload_col: str = "payload",
-                 use_stub: bool | None = None) -> DataFrame:
+                 use_stub: bool | str | None = None) -> DataFrame:
     """(media_id, payload:binary) -> aspect-preserving downscale.
-    Decode/re-encode is PIL when installed, the deterministic stub
-    otherwise (``use_stub=True`` pins the stub — the oracle-replayed
-    path); the target-dimension math (`fit_within`) is shared by both
-    paths and integer-only, so the `media_resize` oracle replays it
-    exactly."""
+    Decode/re-encode is PIL when installed, the stdlib header parse +
+    hash stub otherwise (``use_stub=True`` pins the pure stub,
+    ``use_stub="stdlib"`` the header-aware variant — the
+    oracle-replayed paths); the target-dimension math (`fit_within`)
+    is shared by all paths and integer-only, so the `media_resize`
+    oracle replays it exactly."""
     src = df.select(F.col(id_col).alias("media_id"),
                     F.col(payload_col).alias("payload"))
     return src.mapInArrow(

@@ -47,15 +47,17 @@ def get_spark(app: str = "tool-documentsconverter-spark",
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        # v2 commit: tasks rename straight into the destination instead
-        # of the driver serially renaming every task's output at job
-        # end.  The v1 driver rename loop is LEVEL-INDEPENDENT serial
-        # time (same absolute cost at N and 4N executors), so it eats
-        # scaling efficiency directly; v2's task-side rename is part of
-        # the parallel work.  Dynamic partition overwrite keeps its own
-        # staged-commit correctness either way.
-        .config("spark.hadoop.mapreduce.fileoutputcommitter"
-                ".algorithm.version", "2")
+        # Deliberately NOT setting fileoutputcommitter.algorithm.version=2
+        # here: v2's task-side renames would cut the v1 driver rename
+        # loop (level-independent serial time that eats N->4N scaling
+        # efficiency on real filesystems), but v2 task commit is
+        # non-atomic (SPARK-33019/MAPREDUCE-7282) — under task retry or
+        # speculation a plain append write (e.g. the lineage table) can
+        # expose duplicate/partial files.  The main output is protected
+        # by dynamic-overwrite staging, but a session-level setting
+        # applies to EVERY write; measured neutral on tmpfs anyway.
+        # On a real deployment use a job-commit-atomic committer
+        # (magic committer / Iceberg table commits) instead.
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.driver.memory",
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
