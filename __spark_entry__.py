@@ -1163,6 +1163,49 @@ FROM r ORDER BY doc_id
 """
 
 
+def _q_repetition_signals(spark, sf_dir):
+    """Gopher n-gram repetition: most-frequent-bigram char coverage and
+    duplicated-trigram char coverage per document (one tagged explode,
+    two map-combinable groupBys — operators/textstats.py
+    repetition_signals)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        TS.repetition_signals(docs)
+        .orderBy("doc_id")
+    )
+
+
+_SQL_REPETITION = r"""
+WITH base AS (
+  SELECT doc_id, lower(trim(coalesce(text, ''))) AS t FROM documents
+), tok AS (
+  SELECT doc_id, length(t) AS n_chars,
+         string_split_regex(t, '\s+') AS toks
+  FROM base
+), g AS (
+  SELECT doc_id, n_chars, 2 AS n,
+         array_to_string(list_slice(toks, k + 1, k + 2), ' ') AS gr
+  FROM tok, LATERAL unnest(range(0, greatest(len(toks) - 2, 0) + 1)) u(k)
+  UNION ALL
+  SELECT doc_id, n_chars, 3,
+         array_to_string(list_slice(toks, k + 1, k + 3), ' ')
+  FROM tok, LATERAL unnest(range(0, greatest(len(toks) - 3, 0) + 1)) u(k)
+), c AS (
+  SELECT doc_id, n_chars, n, gr, count(*) AS c
+  FROM g GROUP BY doc_id, n_chars, n, gr
+)
+SELECT doc_id,
+       round(CASE WHEN n_chars = 0 THEN 0.0
+             ELSE coalesce(max(CASE WHEN n = 2 THEN c * length(gr) END), 0)
+                  * 1.0 / n_chars END, 6) AS top_ngram_frac,
+       round(CASE WHEN n_chars = 0 THEN 0.0
+             ELSE coalesce(sum(CASE WHEN n = 3 AND c > 1
+                                    THEN c * length(gr) END), 0)
+                  * 1.0 / n_chars END, 6) AS dup_ngram_frac
+FROM c GROUP BY doc_id, n_chars ORDER BY doc_id
+"""
+
+
 def _q_gopher_quality(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
@@ -2080,6 +2123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_normalize_scrub": _q_normalize_scrub,
         "mojibake_repair": _q_mojibake_repair,
         "gopher_quality": _q_gopher_quality,
+        "repetition_signals": _q_repetition_signals,
         "lang_id": _q_langid,
         "corpus_curation": _q_corpus_curation,
         "text_chunks": _q_text_chunks,
@@ -2141,6 +2185,7 @@ def oracle_sql() -> dict[str, str]:
         "text_normalize_scrub": _SQL_NORMALIZE_SCRUB,
         "mojibake_repair": _sql_mojibake(),
         "gopher_quality": _SQL_GOPHER,
+        "repetition_signals": _SQL_REPETITION,
         "lang_id": _SQL_LANGID,
         "corpus_curation": _SQL_CURATION,
         "text_chunks": _SQL_TEXT_CHUNKS,

@@ -83,7 +83,8 @@ def main() -> None:
         "minhash_lsh_pairs", "simhash", "embedding_cosine_dups",
         "contamination_check",
         "dup_clusters", "textstats", "lang_id",
-        "gopher_quality", "text_normalize_scrub", "mojibake_repair",
+        "gopher_quality", "repetition_signals",
+        "text_normalize_scrub", "mojibake_repair",
         "ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk",
         "corpus_curation", "text_chunks", "seq_packing",
         "xlsx_sheet_csv",

@@ -91,3 +91,23 @@ def test_fix_mojibake_matches_cp1252_roundtrip(spark):
 
     for bad, good in MOJIBAKE_FIXES:
         assert bad == whatwg_cp1252(good.encode("utf-8")), (bad, good)
+
+
+def test_repetition_signals(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "buy now buy now buy now buy now"),    # heavy repetition
+            (2, "the quick brown fox jumps over dogs"),  # all unique
+            (3, ""),                                     # empty
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in TS.repetition_signals(df).collect()}
+    # doc 1: bigram 'buy now' occurs 4x ('now buy' 3x); len 7 * 4 = 28
+    # chars of 31 total
+    assert abs(rows[1].top_ngram_frac - round(28 / 31, 6)) < 1e-9
+    assert rows[1].dup_ngram_frac > 0.5   # trigrams repeat heavily
+    # doc 2: every bigram unique -> top covers exactly one bigram
+    assert rows[2].dup_ngram_frac == 0.0
+    assert 0 < rows[2].top_ngram_frac < 0.5
+    assert rows[3].top_ngram_frac == 0.0 and rows[3].dup_ngram_frac == 0.0

@@ -221,3 +221,68 @@ def detect_language(df: DataFrame, id_col: str, text_col: str,
     return df.withColumn("detected_lang", detected).withColumn(
         "marker_hits", F.when(best_hits > 0, best_hits).otherwise(F.lit(0).cast("long"))
     )
+
+
+def repetition_signals(df, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       top_n: int = 2, dup_n: int = 3):
+    """Gopher-style n-gram repetition signals (Rae et al. 2021 §A1.1),
+    the distributed shape: per document,
+
+      top_ngram_frac — characters covered by the single most frequent
+        word `top_n`-gram (count x gram length) over total characters;
+      dup_ngram_frac — characters covered by all `dup_n`-grams that
+        occur more than once (count x length summed; overlaps between
+        occurrences are NOT deduplicated — a documented approximation
+        of Gopher's char-dedup variant, same monotonicity).
+
+    Scale shape: ONE explode of tagged n-grams + two map-side-
+    combinable groupBys keyed by doc_id — no self-join, no window over
+    the corpus; the n-gram build reuses the slice+array_join idiom
+    (measured 2.8x faster than per-element getItem, see dedup.shingles).
+    Boilerplate/template spam scores high on both signals long before
+    exact dedup would catch it."""
+    t = F.lower(F.trim(F.coalesce(F.col(text_col), F.lit(""))))
+    toks = F.split(t, TOKEN_SPLIT_RE)
+
+    def ngrams(n):
+        idx = F.sequence(F.lit(0),
+                         F.greatest(F.size(toks) - n, F.lit(0)))
+        return F.transform(
+            idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+
+    tagged = F.concat(
+        F.transform(ngrams(top_n),
+                    lambda g: F.struct(F.lit(top_n).alias("n"),
+                                       g.alias("g"))),
+        F.transform(ngrams(dup_n),
+                    lambda g: F.struct(F.lit(dup_n).alias("n"),
+                                       g.alias("g"))),
+    )
+    ex = df.select(F.col(id_col), F.length(t).alias("n_chars"),
+                   F.explode(tagged).alias("x"))
+    counts = (
+        ex.groupBy(id_col, "n_chars",
+                   F.col("x.n").alias("n"), F.col("x.g").alias("g"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    covered = F.col("c") * F.length("g")
+    return (
+        counts.groupBy(id_col, "n_chars")
+        .agg(
+            F.coalesce(F.max(F.when(F.col("n") == top_n, covered)),
+                       F.lit(0)).alias("_top"),
+            F.coalesce(F.sum(F.when((F.col("n") == dup_n)
+                                    & (F.col("c") > 1), covered)),
+                       F.lit(0)).alias("_dup"),
+        )
+        .select(
+            id_col,
+            F.round(F.when(F.col("n_chars") == 0, F.lit(0.0))
+                    .otherwise(F.col("_top") / F.col("n_chars")), 6)
+            .alias("top_ngram_frac"),
+            F.round(F.when(F.col("n_chars") == 0, F.lit(0.0))
+                    .otherwise(F.col("_dup") / F.col("n_chars")), 6)
+            .alias("dup_ngram_frac"),
+        )
+    )
