@@ -1163,6 +1163,53 @@ FROM r ORDER BY doc_id
 """
 
 
+def _q_cjk_textstats(spark, sf_dir):
+    """CJK-aware token accounting (the reference's own corpus is
+    Chinese): every document gets a deterministic mixed-script suffix;
+    whitespace counting sees each CJK run as ONE token while the
+    CJK-aware count treats every Han/kana/Hangul char as a token —
+    both reported, oracle replays both (operators/textstats.py
+    cjk_aware_token_count)."""
+    docs = _t(spark, sf_dir, "documents")
+    mixed = F.concat(F.coalesce(F.col("text"), F.lit("")),
+                     F.lit(" 这是一个测试句子 mixed ハローワールド end"))
+    return docs.select(
+        "doc_id",
+        TS.ws_token_count(mixed).alias("ws_tokens"),
+        TS.cjk_char_count(mixed).alias("cjk_chars"),
+        TS.cjk_aware_token_count(mixed).alias("cjk_aware_tokens"),
+    ).orderBy("doc_id")
+
+
+_SQL_CJK_TEXTSTATS = r"""
+WITH m AS (
+  SELECT doc_id,
+         coalesce(text, '') || ' ' || chr(36825) || chr(26159) || chr(19968)
+         || chr(20010) || chr(27979) || chr(35797) || chr(21477)
+         || chr(23376) || ' mixed ' || chr(12495) || chr(12525) || chr(12540)
+         || chr(12527) || chr(12540) || chr(12523) || chr(12489)
+         || ' end' AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(CASE WHEN trim(t) = '' THEN 0
+            ELSE len(string_split_regex(trim(t), '\s+')) END AS INTEGER)
+         AS ws_tokens,
+       CAST(len(regexp_extract_all(t,
+         '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}\x{AC00}-\x{D7AF}]'))
+         AS INTEGER) AS cjk_chars,
+       CAST(len(regexp_extract_all(t,
+         '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}\x{AC00}-\x{D7AF}]'))
+         + CASE WHEN trim(regexp_replace(t,
+             '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}\x{AC00}-\x{D7AF}]',
+             ' ', 'g')) = '' THEN 0
+           ELSE len(string_split_regex(trim(regexp_replace(t,
+             '[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}\x{AC00}-\x{D7AF}]',
+             ' ', 'g')), '\s+')) END AS INTEGER) AS cjk_aware_tokens
+FROM m ORDER BY doc_id
+"""
+
+
 def _q_repetition_signals(spark, sf_dir):
     """Gopher n-gram repetition: most-frequent-bigram char coverage and
     duplicated-trigram char coverage per document (one tagged explode,
@@ -2124,6 +2171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mojibake_repair": _q_mojibake_repair,
         "gopher_quality": _q_gopher_quality,
         "repetition_signals": _q_repetition_signals,
+        "cjk_textstats": _q_cjk_textstats,
         "lang_id": _q_langid,
         "corpus_curation": _q_corpus_curation,
         "text_chunks": _q_text_chunks,
@@ -2186,6 +2234,7 @@ def oracle_sql() -> dict[str, str]:
         "mojibake_repair": _sql_mojibake(),
         "gopher_quality": _SQL_GOPHER,
         "repetition_signals": _SQL_REPETITION,
+        "cjk_textstats": _SQL_CJK_TEXTSTATS,
         "lang_id": _SQL_LANGID,
         "corpus_curation": _SQL_CURATION,
         "text_chunks": _SQL_TEXT_CHUNKS,

@@ -111,3 +111,19 @@ def test_repetition_signals(spark):
     assert rows[2].dup_ngram_frac == 0.0
     assert 0 < rows[2].top_ngram_frac < 0.5
     assert rows[3].top_ngram_frac == 0.0 and rows[3].dup_ngram_frac == 0.0
+
+
+def test_cjk_aware_token_count(spark):
+    # a Chinese sentence is ONE whitespace token but N real tokens
+    s = "你好世界"
+    assert _one(spark, s, TS.ws_token_count(F.col("text"))) == 1
+    assert _one(spark, s, TS.cjk_char_count(F.col("text"))) == 4
+    assert _one(spark, s, TS.cjk_aware_token_count(F.col("text"))) == 4
+    # mixed script: CJK chars + latin words
+    mixed = "hello 世界 world"
+    assert _one(spark, mixed, TS.cjk_aware_token_count(F.col("text"))) == 4
+    # kana and hangul count too; pure latin falls back to ws behavior
+    assert _one(spark, "カナ 한글", TS.cjk_aware_token_count(F.col("text"))) == 4
+    assert _one(spark, "plain words here",
+                TS.cjk_aware_token_count(F.col("text"))) == 3
+    assert _one(spark, None, TS.cjk_aware_token_count(F.col("text"))) == 0

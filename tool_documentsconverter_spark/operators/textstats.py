@@ -286,3 +286,31 @@ def repetition_signals(df, id_col: str = "doc_id",
             .alias("dup_ngram_frac"),
         )
     )
+
+
+# CJK unified ideographs (base + ext A), Hiragana/Katakana, Hangul
+# syllables — the \x{...} escape form works in both Java regex (Spark)
+# and RE2 (the DuckDB oracle)
+CJK_RE = r"[\x{3040}-\x{30FF}\x{3400}-\x{4DBF}\x{4E00}-\x{9FFF}\x{AC00}-\x{D7AF}]"
+
+
+def cjk_char_count(text: Column) -> Column:
+    """Number of CJK (Han/kana/Hangul) characters."""
+    return F.coalesce(
+        F.regexp_count(F.coalesce(text, F.lit("")), F.lit(CJK_RE)),
+        F.lit(0),
+    )
+
+
+def cjk_aware_token_count(text: Column) -> Column:
+    """Token count where every CJK character is one token (the
+    tokenizer-reality for unsegmented scripts — whitespace counting
+    sees a whole Chinese sentence as ONE token, off by ~20x on the
+    reference's own corpus language) plus whitespace tokens for the
+    remaining text.  Pure codegen: one regexp_count + one count over
+    the CJK-stripped remainder."""
+    t = F.coalesce(text, F.lit(""))
+    rest = F.trim(F.regexp_replace(t, CJK_RE, " "))
+    rest_tokens = F.when(rest == "", F.lit(0)).otherwise(
+        F.size(F.split(rest, TOKEN_SPLIT_RE)))
+    return cjk_char_count(text) + rest_tokens
