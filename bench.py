@@ -88,7 +88,7 @@ def main() -> None:
         "ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk",
         "corpus_curation", "text_chunks", "seq_packing",
         "xlsx_sheet_csv",
-        "md_pdf_roundtrip", "docx_rich", "pdf_layout",
+        "md_pdf_roundtrip", "docx_rich", "pdf_layout", "cjk_textstats",
         "media_resize", "frame_sample", "media_headers",
     ]:
         fn = qs[name]
