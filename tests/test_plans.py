@@ -145,3 +145,30 @@ def test_extraction_has_single_python_stage(spark):
     # extraction must add exactly one more (dispatch inside the stage,
     # not one UDF per format)
     assert len(re.findall(r"MapInArrow \(\d+\)", plan)) <= 2
+
+
+def test_mojibake_repair_is_codegen(docs):
+    """The replace chain must compile into one codegen'd Project —
+    no Python boundary, no shuffle."""
+    from tool_documentsconverter_spark.functions.text import fix_mojibake
+
+    plan = explain(docs.select(fix_mojibake(F.col("text")).alias("t")))
+    assert "codegen id" in plan
+    for bad in ("Exchange", "ArrowEvalPython", "BatchEvalPython",
+                "MapInArrow"):
+        assert bad not in plan
+
+
+def test_repetition_signals_two_exchanges_only(docs):
+    """One tagged explode + two groupBys keyed by doc_id: exactly two
+    shuffle exchanges (each with a map-side partial aggregate), never
+    a join or corpus-wide window."""
+    import re
+
+    from tool_documentsconverter_spark.operators import textstats as TS2
+
+    plan = explain(TS2.repetition_signals(docs))
+    assert len(re.findall(r"Exchange \(\d+\)", plan)) == 2
+    assert "partial_count" in plan  # map-side combine before shuffle
+    for bad in ("SortMergeJoin", "BroadcastNestedLoop", "Window"):
+        assert bad not in plan
