@@ -159,16 +159,13 @@ def test_mojibake_repair_is_codegen(docs):
         assert bad not in plan
 
 
-def test_repetition_signals_two_exchanges_only(docs):
-    """One tagged explode + two groupBys keyed by doc_id: exactly two
-    shuffle exchanges (each with a map-side partial aggregate), never
-    a join or corpus-wide window."""
-    import re
-
+def test_repetition_signals_is_shuffle_free(docs):
+    """Per-document facts never leave the row: the sorted-ngram
+    run-length fold is one narrow Project — zero exchanges, no join,
+    no window, no Python boundary."""
     from tool_documentsconverter_spark.operators import textstats as TS2
 
     plan = explain(TS2.repetition_signals(docs))
-    assert len(re.findall(r"Exchange \(\d+\)", plan)) == 2
-    assert "partial_count" in plan  # map-side combine before shuffle
-    for bad in ("SortMergeJoin", "BroadcastNestedLoop", "Window"):
+    for bad in ("Exchange", "SortMergeJoin", "BroadcastNestedLoop",
+                "Window", "MapInArrow", "ArrowEvalPython"):
         assert bad not in plan
