@@ -129,3 +129,44 @@ def test_sniff_batch(spark):
                     sniff_col(F.col("text"), F.col("fmt_hint")).alias("fmt")).collect()
     for r in got:
         assert r.fmt == K.sniff_format(r.text, r.fmt_hint), (r.text[:40], r.fmt_hint)
+
+
+def test_column_text_path_matches_arrow_path(spark, transcripts):
+    """text_path='column' (pure-Catalyst md for text rows + Arrow stage
+    for structured, unionByName) must be byte-equal to the default
+    single-stage path on every row."""
+    key = lambda r: (r.conv_id, r.turn_idx)  # noqa: E731
+    cols = ["conv_id", "turn_idx", "fmt", "md", "status", "message"]
+    a = sorted(extract(transcripts, hint_col="fmt_hint",
+                       text_path="arrow").select(*cols).collect(), key=key)
+    b = sorted(extract(transcripts, hint_col="fmt_hint",
+                       text_path="column").select(*cols).collect(), key=key)
+    assert a == b
+
+
+def test_vectorized_text_md_edge_stems():
+    """The pyarrow.compute fast path (_text_md_vec) must match the
+    kernel template byte-for-byte on every stem edge case: sanitize
+    blacklist chars, Unicode-whitespace padding (str.strip set, wider
+    than Arrow's default trim), >5-digit turn_idx (Spark's lpad
+    truncates — Arrow's must not), null text, and null conv_id (the
+    kernel f-string renders None)."""
+    import pyarrow as pa
+
+    from tool_documentsconverter_spark.operators.extract import _text_md_vec
+
+    cases = [
+        ("conv-a", 3, "hello"),
+        ('we?ird/con\\v:id*"<>|', 42, "x"),
+        ("  　padded  ", 7, "t"),
+        ("conv-big", 1234567, "big idx"),          # no lpad truncation
+        ("conv-null-text", 9, None),
+        (None, 5, "null conv"),
+    ]
+    conv = pa.array([c[0] for c in cases], type=pa.string())
+    turn = pa.array([c[1] for c in cases], type=pa.int32())
+    text = pa.array([c[2] for c in cases], type=pa.string())
+    got = _text_md_vec(conv, turn, text).to_pylist()
+    for (c, t, x), g in zip(cases, got):
+        want = K.wrap_text_md(K.turn_stem(c, t), x if x is not None else "")
+        assert g == want, (c, t, x)

@@ -415,14 +415,22 @@ def _para_style(p_elem, style_map: Optional[dict] = None) -> str:
     """Style name of a paragraph.  python-docx resolves styleId ->
     style name via styles.xml (style_map, used on the binary path);
     the string-payload fixture convention (FIXTURES.md §3 P3) carries
-    the style NAME verbatim in ``w:pStyle/@w:val``.  Default 'Normal'."""
-    for el in p_elem.iter():
-        if _local(el.tag) == "pStyle":
-            for k, v in el.attrib.items():
-                if _local(k) == "val":
-                    if style_map:
-                        return style_map.get(v, v)
-                    return v
+    the style NAME verbatim in ``w:pStyle/@w:val``.  Default 'Normal'.
+    Scoped to w:pPr/w:pStyle (the only place the schema — and
+    python-docx's paragraph.style — reads it), NOT a full-subtree
+    walk: visiting every run of every paragraph for a property that
+    lives in the first child was the single hottest line of the DOCX
+    kernel."""
+    for pr in p_elem:
+        if _local(pr.tag) != "pPr":
+            continue
+        for el in pr:
+            if _local(el.tag) == "pStyle":
+                for k, v in el.attrib.items():
+                    if _local(k) == "val":
+                        if style_map:
+                            return style_map.get(v, v)
+                        return v
     return "Normal"
 
 
@@ -663,10 +671,26 @@ def _emit_docx(stem: str, has_body: bool, blocks, tables, raw_texts,
     return "".join(out)
 
 
+# One substring scan decides whether the rich-inline machinery (lists,
+# links, emphasis) can run at all: a document whose XML never mentions
+# numPr/hyperlink/b/i cannot produce any of those spans, so its
+# paragraphs take the cheap _para_text walk (documented invariant:
+# _para_inline_md is byte-identical to _para_text when no formatting
+# or links are present — pinned by tests/test_properties.py).  The
+# prefix is matched as (anything):localname so producers using a
+# namespace prefix other than w: still gate correctly; [ />] keeps
+# <w:b from matching <w:body and <w:i from matching <w:ilvl/<w:ins.
+_DOCX_RICH_RE = re.compile(
+    r"<(?:[A-Za-z0-9._-]+:)?(?:numPr|hyperlink)[ >/]"
+    r"|<(?:[A-Za-z0-9._-]+:)?[bi][ />]"
+)
+
+
 def _et_docx_parse(payload: str, style_map: Optional[dict] = None,
                    rels: Optional[dict] = None):
     """Reference parser: ElementTree walk (the canonical semantics).
     Returns (has_body, blocks, tables, raw_texts) — see _emit_docx."""
+    plain = _DOCX_RICH_RE.search(payload) is None
     root = ET.fromstring(payload)
     body = None
     for child in root:
@@ -685,12 +709,21 @@ def _et_docx_parse(payload: str, style_map: Optional[dict] = None,
     for child in body:
         tag = _local(child.tag)
         if tag == "p":
-            numpr = _para_numpr(child)
-            text = _para_inline_md(child, rels)
-            if numpr is not None:
-                blocks.append(("li", numpr[0], numpr[1], text))
+            if plain:
+                # rich-free document: no numPr/link/emphasis anywhere,
+                # so the span collector would emit exactly _para_text
+                blocks.append(
+                    ("p", _para_style(child, style_map), _para_text(child))
+                )
             else:
-                blocks.append(("p", _para_style(child, style_map), text))
+                numpr = _para_numpr(child)
+                text = _para_inline_md(child, rels)
+                if numpr is not None:
+                    blocks.append(("li", numpr[0], numpr[1], text))
+                else:
+                    blocks.append(
+                        ("p", _para_style(child, style_map), text)
+                    )
         elif tag == "tbl":
             rows = []
             for tr in child:

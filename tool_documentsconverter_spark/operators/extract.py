@@ -1,13 +1,36 @@
-"""The extraction stage: one `mapInArrow` pass over payload batches.
+"""The extraction stage: one `mapInArrow` pass over payload batches,
+with the dominant plain-text class handled off the per-row path.
 
 Design (SURVEY.md §2.3, §3.4): a SINGLE vectorized stage with the
-per-format dispatch inside — no branch-and-union (that would scan the
-input once per format), no per-row Python UDF calls from the JVM (the
-Python boundary is crossed once per Arrow batch; batch size bounded by
-spark.sql.execution.arrow.maxRecordsPerBatch).  The dominant payload
-class (plain text) is handled with vectorized pandas string ops inside
-the batch; structured formats (OOXML/PDF/HTML) run the stdlib kernels
-per element — cheap relative to the Arrow transfer they amortize.
+per-format dispatch inside — no per-row Python UDF calls from the JVM
+(the Python boundary is crossed once per Arrow batch; batch size
+bounded by spark.sql.execution.arrow.maxRecordsPerBatch).  Two
+execution shapes for the plain-text majority class (~90% of a
+realistic transcript corpus), selectable via ``text_path``:
+
+- ``text_path="arrow"`` (default): text rows stay inside the single
+  Arrow stage but are emitted by **vectorized pyarrow.compute
+  kernels** (lpad/replace_regex/trim/join — C++, no per-row Python);
+  only structured payloads (PDF/OOXML/HTML/OLE) run the stdlib
+  kernels per element.  One scan, one shuffle, one Python boundary.
+- ``text_path="column"``: text rows never cross into Python at all —
+  their Markdown is a pure Catalyst `concat` Column
+  (functions/markdown.wrap_turn_md, whole-stage codegen) and only
+  structured rows enter the Arrow stage; the two branches recombine
+  with unionByName.  NB: Catalyst pushes each branch's `fmt`
+  predicate through the repartition into the scan, so the plan reads
+  the source twice (each branch shuffling its disjoint subset) —
+  measured SLOWER than "arrow" at 5M turns on both mixes
+  (BENCH/BASELINE.md round-5 table), which is why "arrow" is the
+  default; kept for A/B evidence and for sources where a second
+  pruned scan is cheaper than the Arrow round-trip.
+
+Byte-parity: both shapes emit the kernel template exactly
+(kernels.wrap_text_md / turn_stem — `# {stem}\\n\\n```text\\n...`);
+pyarrow's lpad does not truncate and utf8_trim is given str.strip()'s
+exact whitespace set, so the vectorized stem matches
+kernels.sanitize_stem byte-for-byte (pinned by
+tests/test_extract_spark.py).
 
 Failure isolation (reference doc_to_md/main.py:451-456): kernel errors
 become `status='failed'` rows with tail-truncated messages; the job
@@ -17,17 +40,30 @@ never aborts on a bad payload.
 from __future__ import annotations
 
 import time
-from typing import Iterator, List
+from typing import Iterator, List, Optional
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import Observation
 
 from .. import kernels
+from ..functions.markdown import wrap_turn_md
 from ..functions.sniff import sniff_format
 
 RESULT_COLS = ["md", "status", "message", "seconds"]
+
+# str.strip()'s exact whitespace set (every codepoint where
+# str.isspace() is True) — handed to pc.utf8_trim so the vectorized
+# stem sanitize is byte-identical to kernels.sanitize_stem's .strip()
+_PY_WS = (
+    "\t\n\x0b\x0c\r\x1c\x1d\x1e\x1f \x85\xa0 "
+    "           "
+    "    　"
+)
+_SANITIZE_RE = r'[/\\:*?"<>|]'
 
 
 def with_sniffed_format(df: DataFrame, hint_col: str | None = None) -> DataFrame:
@@ -38,18 +74,36 @@ def with_sniffed_format(df: DataFrame, hint_col: str | None = None) -> DataFrame
     return df.withColumn("fmt", sniff_format(F.col("text"), hint))
 
 
-def _make_extractor(out_cols: List[str], hint_col: str | None = None,
-                    drop_cols: tuple = ()):
+def _text_md_vec(conv: pa.Array, turn: pa.Array, text: pa.Array) -> pa.Array:
+    """Vectorized E8 wrap: `# {sanitize(conv_turn:05d)}` + fenced text
+    (kernels.wrap_text_md / turn_stem twins, pdf_converter.py:30-35).
+    Entirely pyarrow.compute — zero per-row Python.  Null keys follow
+    the kernel's f-string rendering (None -> "None"); null text wraps
+    as empty, same as the kernel."""
+    idx_s = pc.utf8_lpad(pc.cast(turn, pa.string()), 5, "0")
+    raw = pc.binary_join_element_wise(
+        pc.coalesce(conv, pa.scalar("None")), "_", idx_s, ""
+    )
+    stem = pc.utf8_trim(
+        pc.replace_substring_regex(raw, _SANITIZE_RE, "_"), _PY_WS
+    )
+    stem = pc.if_else(pc.equal(stem, ""), pa.scalar("document"), stem)
+    return pc.binary_join_element_wise(
+        "# ", stem, "\n\n```text\n", pc.coalesce(text, pa.scalar("")),
+        "\n```\n", "",
+    )
+
+
+def _make_extractor(hint_col: str | None = None, drop_cols: tuple = ()):
     """Arrow-native batch extractor.  Deliberately NO pandas round
     trip: original columns pass through as untouched Arrow arrays
-    (zero copy), only the needed columns materialize to Python lists
-    once, and result columns are built as plain lists -> pa.array.
-    This is ~2x the throughput of a to_pandas/from_pandas wrapper at
-    the same semantics."""
+    (zero copy), the plain-text class is emitted by pyarrow.compute
+    kernels over whole arrays, and only structured payloads
+    materialize to Python (gathered with `take` so the per-row loop
+    touches exactly the structured subset)."""
 
     def _extract_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         extract_turn = kernels.extract_turn
-        sanitize = kernels.sanitize_stem
         sniff = kernels.sniff_format
         FMT_TEXT = kernels.FMT_TEXT
         OK = kernels.OK
@@ -60,38 +114,59 @@ def _make_extractor(out_cols: List[str], hint_col: str | None = None,
             if n == 0:
                 continue
             names = batch.schema.names
-            conv_ids = batch.column(names.index("conv_id")).to_pylist()
-            turn_idxs = batch.column(names.index("turn_idx")).to_pylist()
-            texts = batch.column(names.index("text")).to_pylist()
+            conv_col = batch.column(names.index("conv_id"))
+            turn_col = batch.column(names.index("turn_idx"))
+            text_col = batch.column(names.index("text"))
             if "fmt" in names:
-                fmts = batch.column(names.index("fmt")).to_pylist()
+                fmt_col = batch.column(names.index("fmt"))
             else:
-                fmts = [sniff(t if t is not None else "") for t in texts]
-            hints = (
-                batch.column(names.index(hint_col)).to_pylist()
-                if hint_col and hint_col in names
-                else fmts
-            )
+                texts_all = text_col.to_pylist()
+                fmt_col = pa.array(
+                    [sniff(t if t is not None else "") for t in texts_all],
+                    type=pa.string(),
+                )
 
-            md: List[str] = [None] * n  # type: ignore[list-item]
-            status: List[str] = [OK] * n
-            message: List[str] = [""] * n
-            for i in range(n):
-                if fmts[i] == FMT_TEXT:
-                    # E8 fast path inline (pdf_converter.py:30-35
-                    # template); the frame's '# {stem}' makes the D2
-                    # blankness gate structurally satisfied
-                    t = texts[i]
-                    md[i] = (
-                        f"# {sanitize(f'{conv_ids[i]}_{turn_idxs[i]:05d}')}"
-                        f"\n\n```text\n{t if t is not None else ''}\n```\n"
+            # vectorized fast path for the plain-text class; a null fmt
+            # (only possible with a user-supplied fmt column) routes to
+            # the structured dispatch, which classifies it per-row
+            is_text = pc.fill_null(pc.equal(fmt_col, FMT_TEXT), False)
+            n_text = pc.sum(is_text).as_py() or 0
+            md = _text_md_vec(conv_col, turn_col, text_col)
+
+            if n_text == n:
+                status: pa.Array = pa.array([OK] * n, type=pa.string())
+                message: pa.Array = pa.array([""] * n, type=pa.string())
+            else:
+                not_text = pc.invert(is_text)
+                idxs = pc.indices_nonzero(not_text)
+                sub_conv = conv_col.take(idxs).to_pylist()
+                sub_turn = turn_col.take(idxs).to_pylist()
+                sub_text = text_col.take(idxs).to_pylist()
+                if hint_col and hint_col in names:
+                    sub_hint = (
+                        batch.column(names.index(hint_col)).take(idxs).to_pylist()
                     )
                 else:
-                    m, s, msg = extract_turn(
-                        conv_ids[i], turn_idxs[i], texts[i],
-                        fmt_hint=str(hints[i] or ""),
-                    )
-                    md[i], status[i], message[i] = m, s, msg
+                    sub_hint = fmt_col.take(idxs).to_pylist()
+                m_s: List[str] = []
+                st_s: List[str] = []
+                msg_s: List[str] = []
+                for c, ti, t, h in zip(sub_conv, sub_turn, sub_text, sub_hint):
+                    m, s, msg = extract_turn(c, ti, t, fmt_hint=str(h or ""))
+                    m_s.append(m)
+                    st_s.append(s)
+                    msg_s.append(msg)
+                md = pc.replace_with_mask(
+                    md, not_text, pa.array(m_s, type=pa.string())
+                )
+                status = pc.replace_with_mask(
+                    pa.array([OK] * n, type=pa.string()), not_text,
+                    pa.array(st_s, type=pa.string()),
+                )
+                message = pc.replace_with_mask(
+                    pa.array([""] * n, type=pa.string()), not_text,
+                    pa.array(msg_s, type=pa.string()),
+                )
 
             per_row = (time.perf_counter() - t0) / n
             # columns dropped HERE never cross Python -> JVM: Catalyst
@@ -102,12 +177,10 @@ def _make_extractor(out_cols: List[str], hint_col: str | None = None,
                       if f.name not in drop_cols]
             fields = [f for f in batch.schema if f.name not in drop_cols]
             if "fmt" not in names:
-                arrays.append(pa.array(fmts, type=pa.string()))
+                arrays.append(fmt_col)
                 fields.append(pa.field("fmt", pa.string()))
             arrays += [
-                pa.array(md, type=pa.string()),
-                pa.array(status, type=pa.string()),
-                pa.array(message, type=pa.string()),
+                md, status, message,
                 pa.array([per_row] * n, type=pa.float64()),
             ]
             fields += [
@@ -121,24 +194,68 @@ def _make_extractor(out_cols: List[str], hint_col: str | None = None,
     return _extract_batches
 
 
+def _arrow_out_schema(df: DataFrame, drop: tuple) -> str:
+    kept = [f for f in df.schema.fields if f.name not in drop]
+    return ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in kept]
+        + ["md string", "status string", "message string", "seconds double"]
+    )
+
+
 def extract(df: DataFrame, hint_col: str | None = None,
-            drop_cols: tuple = ()) -> DataFrame:
+            drop_cols: tuple = (), text_path: str = "arrow",
+            observe_arrow_in: Optional[Observation] = None,
+            observe_text_in: Optional[Observation] = None) -> DataFrame:
     """Append (fmt, md, status, message, seconds) extraction columns.
 
     Input must carry conv_id:string, turn_idx:int, text:string; all
     other columns pass through untouched, EXCEPT those named in
-    `drop_cols`, which are dropped inside the Arrow stage so they never
-    pay the Python -> JVM return transfer (use for the raw payload when
-    the output only needs md).
+    `drop_cols`, which are dropped inside the Arrow stage (or the
+    column projection) so they never pay the Python -> JVM return
+    transfer (use for the raw payload when the output only needs md).
+
+    ``text_path`` picks the plain-text execution shape (module
+    docstring); ``observe_arrow_in`` / ``observe_text_in`` attach
+    row-count Observations (metric name ``rows_in``) to the Arrow
+    branch input and the column branch input respectively, so callers
+    can prove the opaque stage is row-preserving without a second
+    pass.  ``observe_text_in`` is only attached when
+    ``text_path="column"`` — never pass one otherwise (an unattached
+    Observation blocks forever on .get).
     """
     if "fmt" not in df.columns:
         df = with_sniffed_format(df, hint_col)
     drop = tuple(c for c in drop_cols if c in df.columns and c != "fmt")
-    kept = [f for f in df.schema.fields if f.name not in drop]
-    out_cols = [f.name for f in kept] + RESULT_COLS
-    out_schema = ", ".join(
-        [f"`{f.name}` {f.dataType.simpleString()}" for f in kept]
-        + ["md string", "status string", "message string", "seconds double"]
-    )
-    return df.mapInArrow(_make_extractor(out_cols, hint_col, drop),
-                         out_schema)
+
+    if text_path == "column":
+        is_text = F.col("fmt") == kernels.FMT_TEXT
+        kept = [f.name for f in df.schema.fields if f.name not in drop]
+        text_df = df.where(is_text)
+        if observe_text_in is not None:
+            text_df = text_df.observe(
+                observe_text_in, F.count(F.lit(1)).alias("rows_in")
+            )
+        text_out = text_df.select(
+            *kept,
+            wrap_turn_md(F.col("conv_id"), F.col("turn_idx"),
+                         F.col("text")).alias("md"),
+            F.lit(kernels.OK).alias("status"),
+            F.lit("").alias("message"),
+            F.lit(0.0).alias("seconds"),
+        )
+        arrow_df = df.where(~is_text)
+        if observe_arrow_in is not None:
+            arrow_df = arrow_df.observe(
+                observe_arrow_in, F.count(F.lit(1)).alias("rows_in")
+            )
+        arrow_out = arrow_df.mapInArrow(
+            _make_extractor(hint_col, drop), _arrow_out_schema(df, drop)
+        )
+        return text_out.unionByName(arrow_out)
+
+    if text_path != "arrow":
+        raise ValueError(f"unknown text_path: {text_path!r}")
+    if observe_arrow_in is not None:
+        df = df.observe(observe_arrow_in, F.count(F.lit(1)).alias("rows_in"))
+    return df.mapInArrow(_make_extractor(hint_col, drop),
+                         _arrow_out_schema(df, drop))
