@@ -63,14 +63,32 @@ def main() -> None:
                                             num_partitions=CPUS * 2)
         return extract(staged, hint_col="fmt_hint").count()
 
-    extracted_rows = timed("extract_pipeline",
-                           lambda: run_extract(transcripts))
+    repeats: dict[str, int] = {}
+
+    def timed_best(name, fn, n_runs):
+        """min-of-n timing (uniform methodology note in
+        BENCH/BASELINE.md round-5 section): every query records its
+        repeat count in the JSON so cross-round deltas can be read
+        against like-for-like methodology."""
+        out = None
+        best = float("inf")
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            out = fn()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+        repeats[name] = n_runs
+        return out
+
+    extracted_rows = timed_best("extract_pipeline",
+                                lambda: run_extract(transcripts), 2)
     extract_tps = round(extracted_rows / timings["extract_pipeline"], 1)
 
     realistic = synth_transcripts(spark, n_turns, partitions=CPUS * 2,
                                   mix="realistic")
     realistic.cache().count()
-    real_rows = timed("extract_realistic", lambda: run_extract(realistic))
+    real_rows = timed_best("extract_realistic",
+                           lambda: run_extract(realistic), 2)
     real_tps = round(real_rows / timings["extract_realistic"], 1)
     realistic.unpersist()
 
@@ -93,18 +111,18 @@ def main() -> None:
     ]:
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, SF_DIR).count())
-        # Sub-second queries sit at the host-noise floor (identical
-        # runs on this box vary up to ~2x at 0.3s absolute); take
-        # best-of-3 for them so a real plan regression is
-        # distinguishable from scheduler jitter.  Queries >= 1s are
-        # left single-shot: their signal already dominates the noise.
-        if timings[name] < 1.0:
-            best = timings[name]
-            for _ in range(2):
-                t0 = time.perf_counter()
-                fn(spark, SF_DIR).count()
-                best = min(best, time.perf_counter() - t0)
-            timings[name] = round(best, 3)
+        # Uniform repeat methodology (round 5): sub-second queries sit
+        # at the host-noise floor (identical runs vary up to ~2x at
+        # 0.3s absolute) and get min-of-5; queries >= 1s get min-of-3.
+        # Every entry's repeat count lands in the JSON "repeats" map.
+        extra = 4 if timings[name] < 1.0 else 2
+        repeats[name] = extra + 1
+        best = timings[name]
+        for _ in range(extra):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     transcripts.unpersist()
     total = round(sum(timings.values()), 3)
@@ -113,6 +131,9 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "repeats": repeats,
+        "methodology": "min-of-N per query; N in repeats (round 5: "
+                       "2x extraction, 3x >=1s, 5x sub-second)",
         "sf": sf,
         "extract_turns": extracted_rows,
         "extract_turns_per_sec": extract_tps,

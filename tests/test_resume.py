@@ -86,3 +86,28 @@ def test_salting_splits_heavy_conversation(spark, transcripts):
         .select("salt").distinct().collect()
     )
     assert {r.salt for r in other} == {0}  # normal convs stay whole
+
+
+def test_sparse_sample_fallback_guarded_by_coverage(spark, transcripts,
+                                                    monkeypatch):
+    """A sparse sample may trigger the full-scan fallback ONLY when the
+    sample-implied input size is small.  With a pathological fraction
+    (sample-implied size >> HEAVY_FULL_SCAN_EST_CAP) the sketch must
+    degrade to 'no heavy keys detected' WITHOUT ever calling
+    df.count() — at 10^12 rows that fallback would be two full scans."""
+    from pyspark.sql import DataFrame
+
+    def boom(self):
+        raise AssertionError("full-scan fallback fired on a huge-implied input")
+
+    monkeypatch.setattr(DataFrame, "count", boom)
+    heavy = P.heavy_conv_ids(transcripts, fraction=1e-9, threshold=0.05)
+    assert heavy == []  # degraded, not crashed, not rescanned
+
+
+def test_sparse_sample_fallback_fires_on_small_input(spark, transcripts):
+    """Same sparse sample over a genuinely small input (implied size
+    under the cap): the full-scan fallback still runs and finds the
+    oversized conversation."""
+    heavy = P.heavy_conv_ids(transcripts, fraction=0.04, threshold=0.2)
+    assert "conv-00000" in heavy

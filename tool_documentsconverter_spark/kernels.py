@@ -163,13 +163,16 @@ _PDF_LAYOUT_RE = re.compile(
 _PDFMINER = None  # one-shot import probe cache (None=unprobed, False=absent)
 # Markers that a document's hex strings carry 2-byte (UCS-2/UTF-16BE-
 # compatible) codes: Identity-H/V plus the Adobe UCS-2 CMap family
-# (UniGB/UniJIS/UniKS/UniCNS-UCS2-H/V).  Checked payload-global — a
-# blunt but cheap heuristic (a page whose TEXT merely mentions one of
-# these names would flip the flag); precise handling would track the
-# current font's declared encoding per text op, which the
-# uncompressed-fallback scanner deliberately does not model.
+# (UniGB/UniJIS/UniKS/UniCNS-UCS2-H/V).  Scoped to an ``/Encoding``
+# key so the name must appear as a font dictionary's declared encoding
+# (``/Encoding /Identity-H``, exactly what this repo's CID sink and
+# every conforming producer emit) — a page whose TEXT merely mentions
+# 'Identity-H' no longer flips every even-length hex string in the
+# document to UTF-16BE.  Still a document-global flag rather than
+# per-font state: the uncompressed-fallback scanner deliberately does
+# not track which font is active at each text op.
 _PDF_UTF16_MARK_RE = re.compile(
-    r"/(?:Identity-[HV]|Uni(?:GB|JIS|KS|CNS)-UCS2-[HV])")
+    r"/Encoding\s*/(?:Identity-[HV]|Uni(?:GB|JIS|KS|CNS)-UCS2-[HV])")
 
 
 def _pdf_unescape(s: str) -> str:

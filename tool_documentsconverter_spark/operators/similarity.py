@@ -194,7 +194,14 @@ def fit_ivf_centroids(corpus: DataFrame, n_cells: int = 16,
         # — reseeding every empty cell to the same argmax would create
         # duplicate centroids that can never separate, permanently
         # degrading partition quality (reduced-probe recall).
-        far_order = iter(np.argsort(-d2.min(1), kind="stable"))
+        # itertools.cycle, not a bare iterator: the n_cells <= len(x)
+        # guard above makes exhaustion unreachable today, but a future
+        # degenerate call path (more empty cells than sampled points)
+        # must degrade to duplicate centroids, never crash with a bare
+        # StopIteration out of the fit loop
+        import itertools
+
+        far_order = itertools.cycle(np.argsort(-d2.min(1), kind="stable"))
         for j in range(n_cells):
             members = x[assign == j]
             if len(members):

@@ -46,6 +46,13 @@ DEFAULT_BUCKETS = 64
 DEFAULT_SALT = 32
 HEAVY_SAMPLE_FRACTION = 0.05
 HEAVY_MIN_SAMPLE_ROWS = 200
+# the small-sample fallback rescans the input in full, so it may only
+# fire when the input is provably small: the sample-implied size
+# estimate (observed sample rows / fraction) must stay under this cap.
+# A misconfigured fraction (e.g. 1e-9 over 10^12 rows -> a sub-200-row
+# sample) now degrades to "no heavy keys detected" instead of
+# triggering two full scans of the corpus.
+HEAVY_FULL_SCAN_EST_CAP = 2_000_000
 
 
 @dataclass
@@ -93,8 +100,16 @@ def heavy_conv_ids(df: DataFrame,
     ).collect()
     obs_total = int(totals[0]["total"])
     if obs_total < HEAVY_MIN_SAMPLE_ROWS:
-        agg = df.select("conv_id").groupBy("conv_id").count()
-        obs_total = df.count()
+        # sparse sample: only rescan in full when the sample itself
+        # implies a small input (est_rows = observed/fraction, with
+        # max(obs,1) so an empty sample over a huge corpus estimates
+        # 1/fraction, not 0).  Coverage-fraction guard, not absolute
+        # rows: a pathological fraction at 10^12 rows degrades to
+        # "no heavy keys" rather than two full input scans.
+        est_rows = max(obs_total, 1) / max(fraction, 1e-300)
+        if est_rows <= HEAVY_FULL_SCAN_EST_CAP:
+            agg = df.select("conv_id").groupBy("conv_id").count()
+            obs_total = df.count()
     if obs_total == 0:
         return []
     rows = agg.orderBy(F.desc("count")).limit(1024).collect()
