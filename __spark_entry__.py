@@ -1839,6 +1839,110 @@ ORDER BY media_id
 """
 
 
+def _q_media_audio(spark, sf_dir):
+    """Audio container headers (WAV RIFF fmt chunk / FLAC STREAMINFO /
+    MP3 frame header with ID3v2 skip): 200 assets whose payloads are
+    VALID container bytes built from id-derived parameters, plus junk
+    rows that must isolate as failed.  A pass proves the pure-stdlib
+    parser reads back exactly what the writers encoded — real header
+    fields, no decode stub (operators/multimodal.py
+    parse_audio_header)."""
+    from tool_documentsconverter_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+    from tool_documentsconverter_spark.sources.transcripts import (
+        make_flac_bytes,
+        make_mp3_bytes,
+        make_wav_bytes,
+    )
+
+    rows = []
+    for i in range(200):
+        if i % 5 == 4:  # junk row: failure isolation
+            rows.append((i, f"NOISEnoise-{i}".encode()))
+        elif i % 3 == 0:
+            rows.append((i, make_wav_bytes(
+                (8000, 16000, 44100, 48000)[i % 4], 1 + i % 2,
+                8 + 8 * ((i // 3) % 3), 1000 + (i * 37) % 5000)))
+        elif i % 3 == 1:
+            rows.append((i, make_flac_bytes(
+                (44100, 48000, 96000)[(i // 3) % 3], 1 + i % 2,
+                (16, 24)[(i // 2) % 2], 1000 + (i * 53) % 100000)))
+        else:
+            rows.append((i, make_mp3_bytes(
+                (64, 128, 192, 320)[(i // 3) % 4],
+                (44100, 48000, 32000)[(i // 5) % 3], 1 + i % 2,
+                5 + i % 7, with_id3=(i % 2 == 0))))
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    return (
+        extract_audio_features(df)
+        .select("media_id", "kind", "sample_rate", "channels",
+                "bits_per_sample", "duration_ms", "payload_bytes", "status")
+        .orderBy("media_id")
+    )
+
+
+# replay of the id->parameters construction AND the parser's integer
+# duration math: wav = data_bytes*1000 // byte_rate; flac =
+# total_samples*1000 // rate; mp3 = audio_bytes*8000 // bitrate_bps
+# with frame_size = 144*bitrate_bps // rate and a 20-byte ID3 tag on
+# even ids.  payload_bytes replays the writers' exact layout
+# (44+data for RIFF/WAVE, 42 for the fLaC STREAMINFO file,
+# tag+frames for mp3).
+_SQL_MEDIA_AUDIO = """
+WITH p AS (
+  SELECT i,
+         CASE WHEN i % 5 = 4 THEN 'junk'
+              WHEN i % 3 = 0 THEN 'wav'
+              WHEN i % 3 = 1 THEN 'flac'
+              ELSE 'mp3' END AS k,
+         1 + i % 2 AS ch,
+         CASE i % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                    WHEN 2 THEN 44100 ELSE 48000 END AS wav_sr,
+         8 + 8 * ((i // 3) % 3) AS wav_bits,
+         1000 + (i * 37) % 5000 AS wav_ns,
+         CASE (i // 3) % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                           ELSE 96000 END AS flac_sr,
+         CASE (i // 2) % 2 WHEN 0 THEN 16 ELSE 24 END AS flac_bits,
+         1000 + (i * 53) % 100000 AS flac_total,
+         CASE (i // 3) % 4 WHEN 0 THEN 64 WHEN 1 THEN 128
+                           WHEN 2 THEN 192 ELSE 320 END AS mp3_br,
+         CASE (i // 5) % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                           ELSE 32000 END AS mp3_sr,
+         5 + i % 7 AS mp3_nf,
+         CASE WHEN i % 2 = 0 THEN 20 ELSE 0 END AS id3
+  FROM range(0, 200) t(i)
+), d AS (
+  SELECT *,
+         ch * wav_bits // 8 AS wav_ba,
+         (144 * mp3_br * 1000) // mp3_sr AS mp3_fs
+  FROM p
+)
+SELECT i AS media_id,
+       CASE WHEN k = 'junk' THEN 'unknown' ELSE k END AS kind,
+       CAST(CASE k WHEN 'wav' THEN wav_sr WHEN 'flac' THEN flac_sr
+                   WHEN 'mp3' THEN mp3_sr END AS INTEGER) AS sample_rate,
+       CAST(CASE WHEN k = 'junk' THEN NULL ELSE ch END
+            AS INTEGER) AS channels,
+       CAST(CASE k WHEN 'wav' THEN wav_bits WHEN 'flac' THEN flac_bits
+            END AS INTEGER) AS bits_per_sample,
+       CAST(CASE k
+              WHEN 'wav' THEN (wav_ns * wav_ba * 1000)
+                              // (wav_sr * wav_ba)
+              WHEN 'flac' THEN flac_total * 1000 // flac_sr
+              WHEN 'mp3' THEN (mp3_nf * mp3_fs) * 8000 // (mp3_br * 1000)
+            END AS BIGINT) AS duration_ms,
+       CAST(CASE k
+              WHEN 'wav' THEN 44 + wav_ns * wav_ba
+              WHEN 'flac' THEN 42
+              WHEN 'mp3' THEN id3 + mp3_nf * mp3_fs
+              ELSE length('NOISEnoise-' || i)
+            END AS BIGINT) AS payload_bytes,
+       CASE WHEN k = 'junk' THEN 'failed' ELSE 'ok' END AS status
+FROM d ORDER BY media_id
+"""
+
+
 def _q_extract_dispatch(spark, sf_dir):
     from tool_documentsconverter_spark.operators.extract import extract
     from tool_documentsconverter_spark.sources.transcripts import synth_transcripts
@@ -2155,6 +2259,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "md_pdf_roundtrip": _q_md_pdf_roundtrip,
         "docx_rich": _q_docx_rich,
         "pdf_layout": _q_pdf_layout,
+        # new this round:
+        "media_audio": _q_media_audio,
         # core inventory:
         "skip_antijoin": _q_skip_antijoin,
         "exclude_predicates": _q_exclude_predicates,
@@ -2263,6 +2369,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_meta": _SQL_MULTIMODAL,
         "media_features": _SQL_MEDIA_FEATURES,
         "media_headers": _SQL_MEDIA_HEADERS,
+        "media_audio": _SQL_MEDIA_AUDIO,
         "media_resize": _SQL_MEDIA_RESIZE,
         "frame_sample": _SQL_FRAME_SAMPLE,
         "extract_dispatch": _SQL_EXTRACT_DISPATCH,

@@ -277,6 +277,63 @@ def make_gif_bytes(w: int, h: int) -> bytes:
             + b"\x70\x00\x00" + b"\x3b")
 
 
+def make_wav_bytes(sample_rate: int, channels: int, bits: int,
+                   n_samples: int) -> bytes:
+    """A fully VALID RIFF/WAVE file (PCM fmt chunk + zeroed data
+    chunk) — parse_audio_header must read back exactly these
+    parameters, and any real audio library decodes it identically."""
+    import struct
+
+    block_align = channels * bits // 8
+    byte_rate = sample_rate * block_align
+    data = bytes(n_samples * block_align)
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate,
+                      block_align, bits)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def make_flac_bytes(sample_rate: int, channels: int, bits: int,
+                    total_samples: int) -> bytes:
+    """fLaC marker + a single (last) STREAMINFO metadata block with
+    the given stream parameters bit-packed per the FLAC spec."""
+    import struct
+
+    packed = ((sample_rate << 44) | ((channels - 1) << 41)
+              | ((bits - 1) << 36) | total_samples)
+    body = (struct.pack(">HH", 1024, 1024)      # min/max blocksize
+            + b"\x00\x00\x00" * 2               # min/max framesize
+            + packed.to_bytes(8, "big")
+            + bytes(16))                        # md5 of zero samples
+    return b"fLaC" + b"\x80" + len(body).to_bytes(3, "big") + body
+
+
+def make_mp3_bytes(bitrate_kbps: int, sample_rate: int, channels: int,
+                   n_frames: int, with_id3: bool = False) -> bytes:
+    """MPEG1 Layer III CBR frames (header sync + zero payload), with
+    an optional 20-byte ID3v2 tag (10-byte header + 10-byte body,
+    syncsafe size) so the tag-skip path is exercised.  Frame size =
+    144 * bitrate / sample_rate (padding bit clear) — the duration a
+    header-only parser estimates is exactly
+    (n_frames * frame_size) * 8000 // (bitrate_kbps * 1000)."""
+    from ..operators.multimodal import _MP3_BITRATES, _MP3_RATES
+
+    br_idx = _MP3_BITRATES.index(bitrate_kbps)
+    sr_idx = _MP3_RATES.index(sample_rate)
+    hdr = bytes([
+        0xFF,
+        0xFB,                                   # MPEG1 Layer III, no CRC
+        (br_idx << 4) | (sr_idx << 2),          # bitrate/samplerate, pad=0
+        (0xC0 if channels == 1 else 0x00),      # mono vs stereo
+    ])
+    frame_size = 144 * bitrate_kbps * 1000 // sample_rate
+    frame = hdr + bytes(frame_size - 4)
+    tag = (b"ID3\x03\x00\x00" + bytes([0, 0, 0, 10]) + bytes(10)
+           if with_id3 else b"")
+    return tag + frame * n_frames
+
+
 def payload_for(i: int, mix: str = "fixtures") -> Tuple[str, str]:
     """(text, fmt_hint) for row index i.
 
