@@ -762,6 +762,48 @@ GROUP BY 1, 2
 """
 
 
+def _q_incremental_dedup(spark, sf_dir):
+    """Incremental (streaming) MinHash/LSH dedup: the documents table
+    arrives as 2 availableNow micro-batches; per batch, new signatures
+    are upserted into a committed signature table and candidate pairs
+    are generated against it (broadcast probe of the new batch — the
+    committed table is never shuffled).  The union of the per-batch
+    pair partitions must equal the batch operator's output over the
+    full corpus — the oracle is the SAME SQL as minhash_lsh_pairs
+    (streaming/dedup_stream.py; crash-restart exactly-once pinned by
+    tests/test_stream_dedup.py)."""
+    import shutil
+    import tempfile
+
+    from tool_documentsconverter_spark.streaming.dedup_stream import (
+        read_pairs,
+        run_stream_dedup,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 64)
+        .select("doc_id", "text")
+    )
+    base = tempfile.mkdtemp(prefix="incr_dedup_")
+    try:
+        inp = f"{base}/in"
+        docs.repartition(4).write.parquet(inp)
+        q = run_stream_dedup(spark, inp, f"{base}/sig", f"{base}/pairs",
+                             f"{base}/ckpt", n_bands=4,
+                             max_files_per_trigger=2)
+        q.awaitTermination(300)
+        out = read_pairs(spark, f"{base}/pairs").orderBy("id_a", "id_b")
+        # materialize before the temp dir disappears
+        result = spark.createDataFrame(out.collect(), out.schema)
+        return result
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+_SQL_INCREMENTAL_DEDUP = _SQL_MINHASH_PAIRS + "ORDER BY 1, 2\n"
+
+
 def _q_dup_clusters(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 64)
     pairs = D.minhash_lsh_pairs(docs, "doc_id", "text", n_bands=4)
@@ -2279,6 +2321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": _q_minhash_sig,
         "minhash_lsh_pairs": _q_minhash_pairs,
         "dup_clusters": _q_dup_clusters,
+        "incremental_dedup": _q_incremental_dedup,
         "ngram_jaccard": _q_ngram_jaccard,
         "contamination_check": _q_contamination,
         "simhash": _q_simhash,
@@ -2347,6 +2390,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": _SQL_MINHASH_SIG,
         "minhash_lsh_pairs": _SQL_MINHASH_PAIRS,
         "dup_clusters": _SQL_DUP_CLUSTERS,
+        "incremental_dedup": _SQL_INCREMENTAL_DEDUP,
         "ngram_jaccard": _SQL_NGRAM_JACCARD,
         "contamination_check": _SQL_CONTAMINATION,
         "simhash": _SQL_SIMHASH,
