@@ -47,6 +47,14 @@ def parse_args(argv=None) -> argparse.Namespace:
                    help="parquet codec for the output (zstd/snappy/lz4)")
     p.add_argument("--force", action="store_true")
     p.add_argument("--snapshot", default="")
+    p.add_argument("--text-path", default="arrow",
+                   choices=["arrow", "column"],
+                   help="plain-text execution shape (operators/extract.py "
+                        "module docstring): 'arrow' = vectorized "
+                        "pyarrow.compute inside the single Arrow stage "
+                        "(default, measured faster); 'column' = "
+                        "pure-Catalyst md for text rows + Arrow stage for "
+                        "structured only (A/B evidence)")
     p.add_argument("--repeat", type=int, default=1,
                    help="run the pipeline N times (force on reruns) and "
                         "report each; last run is steady-state (warm "
@@ -90,6 +98,7 @@ def main(argv=None) -> int:
             input_snapshot=args.snapshot or args.input,
             include_fmts=get(cfg, "file_types"),
             exclude_convs=get(cfg, "filters.exclude_sources"),
+            text_path=args.text_path,
         )
         elapsed = time.perf_counter() - t0
         print(json.dumps({
