@@ -804,6 +804,39 @@ def _q_incremental_dedup(spark, sf_dir):
 _SQL_INCREMENTAL_DEDUP = _SQL_MINHASH_PAIRS + "ORDER BY 1, 2\n"
 
 
+def _q_domain_stats(spark, sf_dir):
+    """Corpus domain table (web-curation staple): per-occurrence URL
+    hosts extracted with one codegen regexp_extract_all, lowercased,
+    www-stripped, exploded once; ONE aggregation computes doc_count
+    (distinct docs) and ref_count together (operators/textstats.py
+    domain_stats).  Input synthesized deterministically (the driver
+    documents table carries no URLs): doc i references
+    site{i%7}.example twice (once behind www+mixed case — exercising
+    normalization) and cdn{i%3}.example once."""
+    rows = [
+        (i, f"Visit https://www.Site{i % 7}.example/p{i} twice "
+            f"https://site{i % 7}.example/q and "
+            f"http://cdn{i % 3}.example/img{i}")
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return TS.domain_stats(df).orderBy("domain")
+
+
+_SQL_DOMAIN_STATS = """
+WITH ids AS (SELECT i FROM range(0, 300) t(i)),
+refs AS (
+  SELECT 'site' || (i % 7) || '.example' AS domain, i, 2 AS refs FROM ids
+  UNION ALL
+  SELECT 'cdn' || (i % 3) || '.example', i, 1 FROM ids
+)
+SELECT domain,
+       CAST(count(DISTINCT i) AS BIGINT) AS doc_count,
+       CAST(sum(refs) AS BIGINT) AS ref_count
+FROM refs GROUP BY domain ORDER BY domain
+"""
+
+
 def _q_dup_clusters(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 64)
     pairs = D.minhash_lsh_pairs(docs, "doc_id", "text", n_bands=4)
@@ -2358,6 +2391,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_agg": _q_rollup,
         "exact_percentiles": _q_percentiles,
         "events_hourly": _q_events_hourly,
+        # added late round-5 (outside the 50-entry driver window this
+        # round; parity-verified locally, rotates in next round):
+        "domain_stats": _q_domain_stats,
     }
 
 
@@ -2391,6 +2427,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": _SQL_MINHASH_PAIRS,
         "dup_clusters": _SQL_DUP_CLUSTERS,
         "incremental_dedup": _SQL_INCREMENTAL_DEDUP,
+        "domain_stats": _SQL_DOMAIN_STATS,
         "ngram_jaccard": _SQL_NGRAM_JACCARD,
         "contamination_check": _SQL_CONTAMINATION,
         "simhash": _SQL_SIMHASH,

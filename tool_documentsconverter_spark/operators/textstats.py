@@ -332,3 +332,63 @@ def cjk_aware_token_count(text: Column) -> Column:
     rest_tokens = F.when(rest == "", F.lit(0)).otherwise(
         F.size(F.split(rest, TOKEN_SPLIT_RE)))
     return cjk_char_count(text) + rest_tokens
+
+
+# ---------------------------------------------------------------------------
+# URL / domain analysis — web-corpus curation staple (domain blocklists,
+# per-domain quality priors, source-mix reports).  Pure codegen: one
+# regexp_extract_all + explode + map-side-combinable groupBy.
+# ---------------------------------------------------------------------------
+# capture group 1 = the registrable host (lowercased later); the URL
+# grammar matches functions/text.URL_RE so scrub_pii and this operator
+# agree on what counts as a URL.  Character-class only -> the DuckDB
+# oracle replays it under RE2 verbatim.
+_URL_HOST_RE = r"https?://([A-Za-z0-9.-]+)"
+
+
+def doc_domains(df, id_col: str = "doc_id", text_col: str = "text"):
+    """One row per (document, referenced domain): every http(s) URL's
+    host, lowercased, 'www.' prefix dropped, de-duplicated within the
+    document.  Shuffle-free — the extraction is a per-row Project +
+    explode."""
+    hosts = F.array_distinct(
+        F.transform(
+            F.regexp_extract_all(
+                F.coalesce(F.col(text_col), F.lit("")),
+                F.lit(_URL_HOST_RE), F.lit(1)
+            ),
+            lambda h: F.regexp_replace(F.lower(h), "^www\\.", ""),
+        )
+    )
+    return (
+        df.select(F.col(id_col), F.explode(hosts).alias("domain"))
+        .where(F.col("domain") != "")
+    )
+
+
+def domain_stats(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Corpus-level domain table: (domain, doc_count, ref_count) —
+    the input to blocklist joins and per-domain sampling weights.
+    ONE scan and one aggregation: per-occurrence hosts explode once,
+    then groupBy(domain) computes ref_count (all occurrences) and
+    doc_count (distinct documents) together.  The distinct count
+    plans as Spark's two-phase Expand aggregate whose shuffle carries
+    one row per (domain, doc) — orders of magnitude below the token
+    stream at 10^12 rows; swap in approx_count_distinct when +-2%
+    suffices."""
+    occ = df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.regexp_extract_all(
+                    F.coalesce(F.col(text_col), F.lit("")),
+                    F.lit(_URL_HOST_RE), F.lit(1)
+                ),
+                lambda h: F.regexp_replace(F.lower(h), "^www\\.", ""),
+            )
+        ).alias("domain"),
+    ).where(F.col("domain") != "")
+    return occ.groupBy("domain").agg(
+        F.countDistinct(id_col).alias("doc_count"),
+        F.count(F.lit(1)).alias("ref_count"),
+    )
