@@ -1642,6 +1642,43 @@ QUALIFY rank <= 5
 """
 
 
+def _q_embedding_quantize(spark, sf_dir):
+    """Symmetric int8-range embedding quantization (the 4x
+    storage/bandwidth lever for ANN at corpus scale): per-vector
+    scale = max|v|, codes = round(v*127/scale), all codegen
+    higher-order functions (operators/similarity.py
+    quantize_embeddings).  Codes returned as a CSV string so the
+    cross-engine compare is exact; dequantized-scoring recall floor
+    pinned in tests/test_similarity.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = SIM.quantize_embeddings(emb)
+    return q.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.array_join(
+            F.transform("qvec", lambda x: x.cast("string")), ","
+        ).alias("qvec_csv"),
+    ).orderBy("vec_id")
+
+
+_SQL_EMBEDDING_QUANTIZE = """
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS m
+  FROM embeddings
+)
+SELECT vec_id,
+       round(m, 6) AS scale,
+       CASE WHEN m = 0
+            THEN array_to_string(list_transform(e, x -> 0), ',')
+            ELSE array_to_string(
+              list_transform(e, x -> CAST(round(x * 127 / m) AS INTEGER)),
+              ',')
+       END AS qvec_csv
+FROM v ORDER BY vec_id
+"""
+
+
 def _q_embedding_norms(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     vec = F.transform("embedding", lambda x: x.cast("double"))
@@ -2394,6 +2431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # added late round-5 (outside the 50-entry driver window this
         # round; parity-verified locally, rotates in next round):
         "domain_stats": _q_domain_stats,
+        "embedding_quantize": _q_embedding_quantize,
     }
 
 
@@ -2428,6 +2466,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_clusters": _SQL_DUP_CLUSTERS,
         "incremental_dedup": _SQL_INCREMENTAL_DEDUP,
         "domain_stats": _SQL_DOMAIN_STATS,
+        "embedding_quantize": _SQL_EMBEDDING_QUANTIZE,
         "ngram_jaccard": _SQL_NGRAM_JACCARD,
         "contamination_check": _SQL_CONTAMINATION,
         "simhash": _SQL_SIMHASH,

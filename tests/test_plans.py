@@ -169,3 +169,30 @@ def test_repetition_signals_is_shuffle_free(docs):
     for bad in ("Exchange", "SortMergeJoin", "BroadcastNestedLoop",
                 "Window", "MapInArrow", "ArrowEvalPython"):
         assert bad not in plan
+
+
+def test_extract_arrow_path_scans_source_once(spark, sf_dir):
+    """The adopted single-stage shape reads the source exactly once;
+    the split ('column') shape provably pays a second scan — Catalyst
+    pushes each branch's fmt predicate through the repartition into
+    the scan (the measured reason it lost the 5M-turn A/B,
+    BENCH/BASELINE.md round 5).  Pinned so a future refactor that
+    accidentally double-scans the default path fails loudly."""
+    import re as _re
+
+    from tool_documentsconverter_spark.operators.extract import extract
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    turns = docs.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        (F.col("doc_id") % 100).cast("int").alias("turn_idx"),
+        "text",
+    ).repartition(8, "conv_id")
+
+    def n_scans(df):
+        # formatted explain shows each node in the tree AND a detail
+        # section; "(N) Scan parquet" headers count each node once
+        return len(_re.findall(r"\(\d+\) Scan parquet", explain(df)))
+
+    assert n_scans(extract(turns, text_path="arrow")) == 1
+    assert n_scans(extract(turns, text_path="column")) == 2

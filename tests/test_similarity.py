@@ -174,3 +174,48 @@ def test_ivf_production_defaults_recall_floor(emb, queries, exact):
     assert rec4 >= 0.45, rec4
     assert rec8 >= 0.6, rec8
     assert rec8 >= rec4 - 1e-9
+
+
+def test_quantized_recall_floor(spark, sf_dir):
+    """int8 dequantized scoring must agree with exact cosine top-k:
+    recall@5 >= 0.9 over the real embeddings table (64-dim float32 ->
+    int8 loses <1% cosine accuracy; rank inversions are possible only
+    between near-tied neighbors)."""
+    from tool_documentsconverter_spark.operators.similarity import (
+        brute_force_topk,
+        quantized_brute_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, queries, k=5)
+    quant = quantized_brute_topk(emb, queries, k=5)
+    truth = {}
+    for r in exact.collect():
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = total = 0
+    for r in quant.collect():
+        total += 1
+        if r.neighbor_id in truth[r.query_id]:
+            hits += 1
+    assert total == 5 * len(truth)
+    assert hits / total >= 0.9, f"quantized recall {hits}/{total}"
+
+
+def test_quantize_zero_vector_safe(spark):
+    from tool_documentsconverter_spark.operators.similarity import (
+        dequantize,
+        quantize_embeddings,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0, 0.0]), (1, [1.0, -2.0, 0.5])],
+        "vec_id long, embedding array<double>")
+    q = quantize_embeddings(df)
+    rows = {r.vec_id: r for r in q.collect()}
+    assert rows[0].scale == 0.0 and rows[0].qvec == [0, 0, 0]
+    assert rows[1].scale == 2.0 and rows[1].qvec == [64, -127, 32]
+    deq = q.select("vec_id", dequantize(F.col("qvec"), F.col("scale"))
+                   .alias("v")).collect()
+    v1 = dict((r.vec_id, r.v) for r in deq)[1]
+    assert abs(v1[1] - (-2.0)) < 1e-9  # extreme component is exact

@@ -434,3 +434,67 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "score")
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 embedding quantization — the storage/bandwidth lever for ANN at
+# corpus scale: a 64-dim float32 vector is 256 bytes; symmetric int8
+# (per-vector scale + 64 bytes) is 4x smaller, which at 10^12 rows is
+# the difference between an embedding table that fits executor page
+# cache and one that thrashes it.  Scoring on dequantized vectors
+# loses < 1% cosine accuracy at 64 dims (recall floor pinned in
+# tests/test_similarity.py).
+# ---------------------------------------------------------------------------
+def quantize_embeddings(df: DataFrame, id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """(id, scale, qvec): symmetric per-vector int8-range quantization
+    q_i = round(v_i * 127 / max|v|), entirely codegen (higher-order
+    functions, no Python).  A zero vector quantizes to scale 0 and all
+    zeros.  Dequantize with q_i * scale / 127 (see dequantize())."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    qvec = F.when(scale == 0.0, F.transform(v, lambda x: F.lit(0))).otherwise(
+        F.transform(v, lambda x: F.round(x * 127.0 / scale).cast("int"))
+    )
+    return df.select(
+        F.col(id_col),
+        scale.alias("scale"),
+        qvec.alias("qvec"),
+    )
+
+
+def dequantize(qvec, scale):
+    """Column expression: int8-range codes back to doubles."""
+    return F.transform(qvec, lambda q: q.cast("double") * scale / F.lit(127.0))
+
+
+def quantized_brute_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """Exact-shape brute-force cosine top-k over QUANTIZED vectors:
+    same plan as brute_force_topk (broadcast query side, codegen
+    scoring, window top-k) but the corpus side scores dequantized
+    int8 codes — the accuracy/throughput tradeoff a production ANN
+    serves from.  Used by the recall test; returns
+    (query_id, neighbor_id, rank, score)."""
+    qc = quantize_embeddings(corpus, id_col, vec_col)
+    c = qc.select(
+        F.col(id_col).alias("neighbor_id"),
+        dequantize(F.col("qvec"), F.col("scale")).alias("cvec"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qvec"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("score", cosine(F.col("qvec"), F.col("cvec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )
