@@ -109,3 +109,48 @@ def test_extract_audio_features_isolates_failures(spark):
     assert got[3].status == "failed"
     assert got[4].kind == "flac" and got[4].duration_ms == 1000
     assert all(r.status in ("ok", "failed") for r in got.values())
+
+
+# ---------------------------------------------------------------------------
+# Property: build -> parse is the identity on the header fields, for
+# ANY spec-valid parameter combination (not just the query's formulas)
+# ---------------------------------------------------------------------------
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+# sr capped so byte_rate = sr * block_align stays inside the 4-byte
+# RIFF field for every generated combination
+@given(sr=st.integers(1, (1 << 20) - 1),
+       ch=st.integers(1, 8), bits=st.sampled_from([8, 16, 24, 32]),
+       n=st.integers(0, 100000))
+def test_wav_property_round_trip(sr, ch, bits, n):
+    p = make_wav_bytes(sr, ch, bits, n)
+    ba = ch * bits // 8
+    k, r, c, b, d = parse_audio_header(p)
+    assert (k, r, c, b) == ("wav", sr, ch, bits)
+    assert d == (n * ba) * 1000 // (sr * ba)
+
+
+@settings(max_examples=60, deadline=None)
+@given(sr=st.integers(1, (1 << 20) - 1), ch=st.integers(1, 8),
+       bits=st.integers(4, 32), total=st.integers(0, (1 << 36) - 1))
+def test_flac_property_round_trip(sr, ch, bits, total):
+    p = make_flac_bytes(sr, ch, bits, total)
+    k, r, c, b, d = parse_audio_header(p)
+    assert (k, r, c, b) == ("flac", sr, ch, bits)
+    assert d == (total * 1000 // sr if total else None)
+
+
+@settings(max_examples=60, deadline=None)
+@given(br=st.sampled_from([32, 64, 96, 128, 192, 256, 320]),
+       sr=st.sampled_from([44100, 48000, 32000]),
+       ch=st.integers(1, 2), nf=st.integers(1, 50),
+       id3=st.booleans())
+def test_mp3_property_round_trip(br, sr, ch, nf, id3):
+    p = make_mp3_bytes(br, sr, ch, nf, with_id3=id3)
+    k, r, c, b, d = parse_audio_header(p)
+    assert (k, r, c, b) == ("mp3", sr, ch, None)
+    audio = len(p) - (20 if id3 else 0)
+    assert d == audio * 8000 // (br * 1000)
