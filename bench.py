@@ -108,6 +108,7 @@ def main() -> None:
         "xlsx_sheet_csv",
         "md_pdf_roundtrip", "docx_rich", "pdf_layout", "cjk_textstats",
         "media_resize", "frame_sample", "media_headers",
+        "media_audio", "domain_stats", "embedding_quantize",
     ]:
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, SF_DIR).count())
