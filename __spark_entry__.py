@@ -769,7 +769,10 @@ def _q_incremental_dedup(spark, sf_dir):
     are generated against it (broadcast probe of the new batch — the
     committed table is never shuffled).  The union of the per-batch
     pair partitions must equal the batch operator's output over the
-    full corpus — the oracle is the SAME SQL as minhash_lsh_pairs
+    full corpus (exact here because no bucket crosses max_bucket
+    mid-stream on this input; the guard is no-retract, see
+    streaming/dedup_stream.py) — the oracle is the SAME SQL as
+    minhash_lsh_pairs
     (streaming/dedup_stream.py; crash-restart exactly-once pinned by
     tests/test_stream_dedup.py)."""
     import shutil

@@ -170,3 +170,52 @@ def test_vectorized_text_md_edge_stems():
     for (c, t, x), g in zip(cases, got):
         want = K.wrap_text_md(K.turn_stem(c, t), x if x is not None else "")
         assert g == want, (c, t, x)
+
+
+def test_edge_keys_both_paths(spark):
+    """Review findings r5: (a) 6-digit and negative turn_idx must not
+    be truncated/mangled by either shape (F.lpad truncates — the
+    column twin uses format_string); (b) a NULL fmt row must reach the
+    output via the Arrow branch, not vanish from both; (c) a NULL
+    turn_idx on a text row is a per-row failure, not a silent
+    'ok'-with-null-md and not a task crash."""
+    from pyspark.sql import types as T
+
+    rows = [
+        ("c", 123456, "six digits", None),
+        ("c", -12, "negative", None),
+        ("c", 7, "null fmt", "text"),       # fmt column set below
+        ("c", None, "null idx", None),
+        (None, 9, "null conv", None),
+    ]
+    schema = T.StructType([
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("fmt_in", T.StringType()),
+    ])
+    df = spark.createDataFrame(rows, schema)
+    # user-supplied fmt column with a NULL (row 3 keeps 'text', the
+    # rest NULL) — exercises the null-fmt routing
+    df = df.withColumn(
+        "fmt",
+        F.when(F.col("turn_idx") == 7, F.lit("text")).otherwise(
+            F.when(F.col("turn_idx").isNotNull() | F.col("conv_id").isNotNull(),
+                   F.lit("text")))
+    ).drop("fmt_in")
+
+    for path in ("arrow", "column"):
+        got = {
+            (r.conv_id, r.turn_idx): r
+            for r in extract(df, text_path=path).collect()
+        }
+        assert len(got) == 5, f"{path}: rows dropped"
+        assert got[("c", 123456)].md == K.wrap_text_md(
+            K.turn_stem("c", 123456), "six digits"), path
+        assert got[("c", -12)].md == K.wrap_text_md(
+            K.turn_stem("c", -12), "negative"), path
+        assert got[("c", 7)].status == "ok"
+        nulled = got[("c", None)]
+        assert nulled.status == "failed" and nulled.md is None, path
+        assert got[(None, 9)].md == K.wrap_text_md(
+            K.turn_stem(None, 9), "null conv"), path

@@ -296,3 +296,38 @@ def test_message_tail_truncation():
     md, status, msg = K.extract_turn("c", 6, "<?xml " + long, fmt_hint="")
     assert status == K.FAILED
     assert len(msg) <= K.MESSAGE_TAIL
+
+
+def test_docx_rich_gate_matches_newline_separated_attrs():
+    """Review finding r5: a producer may put a newline/tab before the
+    first attribute — the rich-feature gate must still detect the
+    bold run and the hyperlink (prefix [\\s/>], not [ />])."""
+    from tool_documentsconverter_spark import kernels as K
+
+    xml = (
+        '<?xml version="1.0"?>'
+        '<w:document xmlns:w="http://x" xmlns:r="http://y"><w:body>'
+        '<w:p><w:r><w:rPr><w:b\n w:val="true"/></w:rPr>'
+        "<w:t>bold text</w:t></w:r></w:p>"
+        '<w:p><w:hyperlink\n w:anchor="sec"><w:r><w:t>link</w:t></w:r>'
+        "</w:hyperlink></w:p>"
+        "</w:body></w:document>"
+    )
+    md = K.convert_docx_xml("s", xml)
+    assert "**bold text**" in md
+    assert "[link](#sec)" in md
+
+
+def test_pdf_utf16_marker_direct_and_indirect_encoding():
+    """Review finding r5: the UTF-16 hex gate must accept both the
+    direct '/Encoding /Identity-H' form and the indirect
+    'N 0 obj /Identity-H' resolution, while still ignoring prose that
+    merely mentions the CMap name."""
+    from tool_documentsconverter_spark.kernels import _PDF_UTF16_MARK_RE
+
+    assert _PDF_UTF16_MARK_RE.search("<< /Encoding /Identity-H >>")
+    assert _PDF_UTF16_MARK_RE.search("<< /Encoding 12 0 R >>\n"
+                                     "12 0 obj /Identity-H endobj")
+    assert _PDF_UTF16_MARK_RE.search("/Encoding\n/UniGB-UCS2-H")
+    assert not _PDF_UTF16_MARK_RE.search(
+        "(this page discusses the Identity-H encoding) Tj")

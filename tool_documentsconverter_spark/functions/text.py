@@ -27,8 +27,17 @@ def sanitize_stem(col: Column, default: str = "document") -> Column:
 
 def turn_stem(conv_id: Column, turn_idx: Column) -> Column:
     """Column twin of kernels.turn_stem: `{conv_id}_{turn_idx:05d}`
-    sanitized (FIXTURES.md §1 title-key convention)."""
-    raw = F.concat(conv_id, F.lit("_"), F.lpad(turn_idx.cast("string"), 5, "0"))
+    sanitized (FIXTURES.md §1 title-key convention).  format_string,
+    NOT F.lpad: lpad TRUNCATES strings longer than the pad width, so a
+    6-digit turn_idx would silently lose its leading digit, and it
+    also mangles negatives ('00-12' vs the f-string's '-0012');
+    Java's %05d matches Python's :05d in both cases."""
+    # format_string renders a NULL arg as the literal string 'null'
+    # (Java Formatter) — guard so a null turn_idx nulls the stem like
+    # every other null input to concat
+    idx = F.when(turn_idx.isNull(), F.lit(None).cast("string")).otherwise(
+        F.format_string("%05d", turn_idx.cast("long")))
+    raw = F.concat(conv_id, F.lit("_"), idx)
     return sanitize_stem(raw)
 
 

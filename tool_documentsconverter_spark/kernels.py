@@ -171,8 +171,15 @@ _PDFMINER = None  # one-shot import probe cache (None=unprobed, False=absent)
 # document to UTF-16BE.  Still a document-global flag rather than
 # per-font state: the uncompressed-fallback scanner deliberately does
 # not track which font is active at each text op.
+# two accepted contexts: the direct form '/Encoding /Identity-H'
+# (what this repo's sink and most producers emit) and the indirect
+# form '/Encoding 12 0 R' whose referenced object body is
+# '12 0 obj /Identity-H' — 'obj' immediately preceding the CMap name
+# marks exactly that resolution without reviving the payload-global
+# false positive (prose mentioning 'Identity-H' matches neither).
 _PDF_UTF16_MARK_RE = re.compile(
-    r"/Encoding\s*/(?:Identity-[HV]|Uni(?:GB|JIS|KS|CNS)-UCS2-[HV])")
+    r"(?:/Encoding\s*|\bobj\s*)"
+    r"/(?:Identity-[HV]|Uni(?:GB|JIS|KS|CNS)-UCS2-[HV])")
 
 
 def _pdf_unescape(s: str) -> str:
@@ -683,9 +690,12 @@ def _emit_docx(stem: str, has_body: bool, blocks, tables, raw_texts,
 # prefix is matched as (anything):localname so producers using a
 # namespace prefix other than w: still gate correctly; [ />] keeps
 # <w:b from matching <w:body and <w:i from matching <w:ilvl/<w:ins.
+# [\s/>] not [ />]: XML allows a tab/newline before the first
+# attribute ('<w:b\n w:val="1"/>'), and missing it would silently
+# drop that document's formatting via the plain path
 _DOCX_RICH_RE = re.compile(
-    r"<(?:[A-Za-z0-9._-]+:)?(?:numPr|hyperlink)[ >/]"
-    r"|<(?:[A-Za-z0-9._-]+:)?[bi][ />]"
+    r"<(?:[A-Za-z0-9._-]+:)?(?:numPr|hyperlink)[\s>/]"
+    r"|<(?:[A-Za-z0-9._-]+:)?[bi][\s/>]"
 )
 
 

@@ -80,7 +80,17 @@ def _text_md_vec(conv: pa.Array, turn: pa.Array, text: pa.Array) -> pa.Array:
     Entirely pyarrow.compute — zero per-row Python.  Null keys follow
     the kernel's f-string rendering (None -> "None"); null text wraps
     as empty, same as the kernel."""
-    idx_s = pc.utf8_lpad(pc.cast(turn, pa.string()), 5, "0")
+    s = pc.cast(turn, pa.string())
+    # sign-aware zero pad: f"{-12:05d}" is '-0012' (sign outside the
+    # zeros, total width 5) while a bare lpad would give '00-12'
+    neg = pc.fill_null(pc.less(turn, 0), False)
+    idx_s = pc.if_else(
+        neg,
+        pc.binary_join_element_wise(
+            "-", pc.utf8_lpad(pc.utf8_slice_codeunits(s, 1, 2_000_000), 4, "0"),
+            ""),
+        pc.utf8_lpad(s, 5, "0"),
+    )
     raw = pc.binary_join_element_wise(
         pc.coalesce(conv, pa.scalar("None")), "_", idx_s, ""
     )
@@ -131,7 +141,11 @@ def _make_extractor(hint_col: str | None = None, drop_cols: tuple = ()):
             # the structured dispatch, which classifies it per-row
             is_text = pc.fill_null(pc.equal(fmt_col, FMT_TEXT), False)
             n_text = pc.sum(is_text).as_py() or 0
-            md = _text_md_vec(conv_col, turn_col, text_col)
+            if n_text > 0:
+                md = _text_md_vec(conv_col, turn_col, text_col)
+            else:
+                # all-structured batch: skip the template build entirely
+                md = pa.nulls(n, type=pa.string())
 
             if n_text == n:
                 status: pa.Array = pa.array([OK] * n, type=pa.string())
@@ -167,6 +181,17 @@ def _make_extractor(hint_col: str | None = None, drop_cols: tuple = ()):
                     pa.array([""] * n, type=pa.string()), not_text,
                     pa.array(msg_s, type=pa.string()),
                 )
+
+            # a text row with a NULL turn_idx yields a null md (null
+            # propagates through the vectorized template); the old
+            # per-row f-string crashed the whole task on that input —
+            # surface it as a per-row failure instead of either a task
+            # abort or a silently-'ok' null
+            bad = pc.and_(pc.is_null(md), is_text)
+            if pc.any(bad).as_py():
+                status = pc.if_else(bad, pa.scalar(kernels.FAILED), status)
+                message = pc.if_else(
+                    bad, pa.scalar("null turn_idx on text row"), message)
 
             per_row = (time.perf_counter() - t0) / n
             # columns dropped HERE never cross Python -> JVM: Catalyst
@@ -228,19 +253,31 @@ def extract(df: DataFrame, hint_col: str | None = None,
     drop = tuple(c for c in drop_cols if c in df.columns and c != "fmt")
 
     if text_path == "column":
-        is_text = F.col("fmt") == kernels.FMT_TEXT
+        # coalesce, not a bare equality: a NULL fmt (possible only with
+        # a user-supplied fmt column) makes BOTH `fmt == text` and its
+        # negation NULL, which would silently drop the row from both
+        # branches — route nulls to the Arrow branch, which classifies
+        # them per-row exactly like the single-stage shape
+        is_text = F.coalesce(F.col("fmt") == kernels.FMT_TEXT, F.lit(False))
         kept = [f.name for f in df.schema.fields if f.name not in drop]
         text_df = df.where(is_text)
         if observe_text_in is not None:
             text_df = text_df.observe(
                 observe_text_in, F.count(F.lit(1)).alias("rows_in")
             )
+        # coalesce conv_id like the kernel's f-string (None -> "None");
+        # only a NULL turn_idx can null the template
+        md_expr = wrap_turn_md(F.coalesce(F.col("conv_id"), F.lit("None")),
+                               F.col("turn_idx"), F.col("text"))
+        # null-key rows (NULL turn_idx) null out the template — mark
+        # them failed, mirroring the Arrow shape's per-row isolation
         text_out = text_df.select(
             *kept,
-            wrap_turn_md(F.col("conv_id"), F.col("turn_idx"),
-                         F.col("text")).alias("md"),
-            F.lit(kernels.OK).alias("status"),
-            F.lit("").alias("message"),
+            md_expr.alias("md"),
+            F.when(md_expr.isNull(), F.lit(kernels.FAILED))
+            .otherwise(F.lit(kernels.OK)).alias("status"),
+            F.when(md_expr.isNull(), F.lit("null turn_idx on text row"))
+            .otherwise(F.lit("")).alias("message"),
             F.lit(0.0).alias("seconds"),
         )
         arrow_df = df.where(~is_text)

@@ -158,6 +158,8 @@ def _feature_batches(use_stub=None):
         decode, _real = _pick_decoder(use_stub)
 
         for batch in batches:
+            if batch.num_rows == 0:  # empty batch would infer null types
+                continue
             names = batch.schema.names
             ids = batch.column(names.index("media_id")).to_pylist()
             payloads = batch.column(names.index("payload")).to_pylist()
@@ -183,7 +185,7 @@ def _feature_batches(use_stub=None):
                     width.append(None); height.append(None); mode.append(None)
                     status.append("failed")
             yield pa.RecordBatch.from_pydict({
-                "media_id": pa.array(ids),
+                "media_id": pa.array(ids, type=pa.int64()),
                 "kind": pa.array(kind, type=pa.string()),
                 "width": pa.array(width, type=pa.int32()),
                 "height": pa.array(height, type=pa.int32()),
@@ -234,6 +236,8 @@ def _resize_batches(max_side: int, use_stub=None):
         decode, real = _pick_decoder(use_stub)
 
         for batch in batches:
+            if batch.num_rows == 0:  # empty batch would infer null types
+                continue
             names = batch.schema.names
             ids = batch.column(names.index("media_id")).to_pylist()
             payloads = batch.column(names.index("payload")).to_pylist()
@@ -282,7 +286,7 @@ def _resize_batches(max_side: int, use_stub=None):
                     w_out.append(None); h_out.append(None)
                     resized.append(None); status.append("failed")
             yield pa.RecordBatch.from_pydict({
-                "media_id": pa.array(ids),
+                "media_id": pa.array(ids, type=pa.int64()),
                 "kind": pa.array(kind, type=pa.string()),
                 "width": pa.array(w_in, type=pa.int32()),
                 "height": pa.array(h_in, type=pa.int32()),
@@ -318,6 +322,8 @@ def resize_media(df: DataFrame, max_side: int = 256,
 def _frame_batches(n_frames: int):
     def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
+            if batch.num_rows == 0:  # empty batch would infer null types
+                continue
             names = batch.schema.names
             ids = batch.column(names.index("media_id")).to_pylist()
             payloads = batch.column(names.index("payload")).to_pylist()
@@ -343,7 +349,7 @@ def _frame_batches(n_frames: int):
                     frame.append(hashlib.md5(tag.encode()).digest())
                     status.append("ok")
             yield pa.RecordBatch.from_pydict({
-                "media_id": pa.array(mid),
+                "media_id": pa.array(mid, type=pa.int64()),
                 "frame_idx": pa.array(idx, type=pa.int32()),
                 "offset_ms": pa.array(off, type=pa.int64()),
                 "frame_md5": pa.array(fmd5, type=pa.string()),
@@ -470,6 +476,8 @@ def parse_audio_header(payload: bytes):
 def _audio_batches():
     def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
+            if batch.num_rows == 0:  # empty batch would infer null types
+                continue
             names = batch.schema.names
             ids = batch.column(names.index("media_id")).to_pylist()
             payloads = batch.column(names.index("payload")).to_pylist()
@@ -486,7 +494,7 @@ def _audio_batches():
                     chans.append(None); bits.append(None); dur.append(None)
                     status.append("failed")
             yield pa.RecordBatch.from_pydict({
-                "media_id": pa.array(ids),
+                "media_id": pa.array(ids, type=pa.int64()),
                 "kind": pa.array(kind, type=pa.string()),
                 "sample_rate": pa.array(rate, type=pa.int32()),
                 "channels": pa.array(chans, type=pa.int32()),

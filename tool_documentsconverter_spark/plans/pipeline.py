@@ -105,11 +105,16 @@ def heavy_conv_ids(df: DataFrame,
         # max(obs,1) so an empty sample over a huge corpus estimates
         # 1/fraction, not 0).  Coverage-fraction guard, not absolute
         # rows: a pathological fraction at 10^12 rows degrades to
-        # "no heavy keys" rather than two full input scans.
+        # "no heavy keys detected" rather than two full input scans —
+        # and that degradation must be a RETURN, not a fall-through:
+        # thresholding a sub-200-row sample (0.05 * 20 rows = 1) would
+        # declare any conversation sampled twice by chance "heavy".
         est_rows = max(obs_total, 1) / max(fraction, 1e-300)
         if est_rows <= HEAVY_FULL_SCAN_EST_CAP:
             agg = df.select("conv_id").groupBy("conv_id").count()
             obs_total = df.count()
+        else:
+            return []
     if obs_total == 0:
         return []
     rows = agg.orderBy(F.desc("count")).limit(1024).collect()

@@ -19,7 +19,11 @@ Per micro-batch N of newly arrived documents:
    argument).  Every (id_a, id_b) pair is emitted in EXACTLY one
    batch: the arrival batch of its later endpoint — so the union of
    all pair partitions equals the batch operator's output over the
-   full corpus (pinned by tests/test_stream_dedup.py).
+   full corpus WHENEVER no bucket crosses ``max_bucket`` mid-stream
+   (pinned by tests/test_stream_dedup.py); when one does, the
+   no-retract guard below makes the streaming output a SUBSET of the
+   uncapped pair set but a SUPERSET of the batch operator's (pairs
+   emitted while the bucket was still small persist).
 
 Scale shape: the probe side (one micro-batch) is broadcast, so the
 committed signature table is never shuffled — each batch costs two
