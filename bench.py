@@ -109,6 +109,7 @@ def main() -> None:
         "md_pdf_roundtrip", "docx_rich", "pdf_layout", "cjk_textstats",
         "media_resize", "frame_sample", "media_headers",
         "media_audio", "domain_stats", "embedding_quantize",
+        "ann_ivf_quantized",
     ]:
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, SF_DIR).count())
@@ -127,20 +128,39 @@ def main() -> None:
 
     transcripts.unpersist()
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    summary = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "repeats": repeats,
-        "methodology": "min-of-N per query; N in repeats (round 5: "
-                       "2x extraction, 3x >=1s, 5x sub-second)",
         "sf": sf,
         "extract_turns": extracted_rows,
         "extract_turns_per_sec": extract_tps,
         "extract_realistic_turns_per_sec": real_tps,
         "cpus": CPUS,
-    }))
+    }
+    detail = dict(summary)
+    detail["repeats"] = repeats
+    detail["methodology"] = ("min-of-N per query; N in repeats "
+                             "(2x extraction, 3x >=1s, 5x sub-second)")
+    # Full detail goes to a file + an EARLIER stdout line; the FINAL
+    # stdout line must stay well under the driver's 2000-char tail
+    # capture (BENCH_r05.json came back parsed:null because the
+    # repeats map + methodology pushed the single line past it).
+    try:
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/bench_local_latest.json", "w") as fh:
+            json.dump(detail, fh, indent=1)
+    except OSError:
+        pass
+    print(json.dumps(detail))
+    final = json.dumps(summary)
+    if len(final) > 1900:  # belt-and-braces: drop per-query detail
+        slim = dict(summary)
+        slim.pop("queries")
+        slim["queries_file"] = "BENCH/bench_local_latest.json"
+        final = json.dumps(slim)
+    print(final)
     spark.stop()
 
 

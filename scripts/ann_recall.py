@@ -70,6 +70,16 @@ def main() -> None:
     results["ivf_16c_8probe"] = recall(
         SIM.ivf_topk(emb, queries, k=K, n_cells=16, n_probe=8,
                      centroids=cents).collect(), exact)
+    # int8-code posting lists (ivf_quantized_topk) at the same
+    # production probes — quantization error stacked on IVF routing,
+    # measured against the FLOAT exact baseline (the number a serving
+    # deployment actually cares about)
+    results["ivf_quantized_16c_4probe"] = recall(
+        SIM.ivf_quantized_topk(emb, queries, k=K, n_cells=16, n_probe=4,
+                               centroids=cents).collect(), exact)
+    results["ivf_quantized_16c_8probe"] = recall(
+        SIM.ivf_quantized_topk(emb, queries, k=K, n_cells=16, n_probe=8,
+                               centroids=cents).collect(), exact)
 
     # LSH on its PRODUCTION workload — near-duplicate retrieval: 100
     # perturbed twins (cos ~ 0.99) are planted in the corpus and the

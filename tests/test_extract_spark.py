@@ -187,6 +187,11 @@ def test_edge_keys_both_paths(spark):
         ("c", 7, "null fmt", "text"),       # fmt column set below
         ("c", None, "null idx", None),
         (None, 9, "null conv", None),
+        # ADVICE r5: conv_id padded with NON-ASCII whitespace (nbsp,
+        # ideographic space, \x1c) — Java \s would leave it, Python
+        # str.strip() removes it; all paths must produce the stripped
+        # stem byte-for-byte
+        ("\xa0　c-uni\x1c ", 11, "unicode ws conv", None),
     ]
     schema = T.StructType([
         T.StructField("conv_id", T.StringType()),
@@ -209,7 +214,7 @@ def test_edge_keys_both_paths(spark):
             (r.conv_id, r.turn_idx): r
             for r in extract(df, text_path=path).collect()
         }
-        assert len(got) == 5, f"{path}: rows dropped"
+        assert len(got) == 6, f"{path}: rows dropped"
         assert got[("c", 123456)].md == K.wrap_text_md(
             K.turn_stem("c", 123456), "six digits"), path
         assert got[("c", -12)].md == K.wrap_text_md(
@@ -219,3 +224,77 @@ def test_edge_keys_both_paths(spark):
         assert nulled.status == "failed" and nulled.md is None, path
         assert got[(None, 9)].md == K.wrap_text_md(
             K.turn_stem(None, 9), "null conv"), path
+        uni = got[("\xa0　c-uni\x1c ", 11)]
+        assert uni.md == K.wrap_text_md(
+            K.turn_stem("\xa0　c-uni\x1c ", 11), "unicode ws conv"), path
+        assert "\xa0" not in uni.md and "　" not in uni.md, path
+
+
+def test_time_budget_cuts_off_slow_batch(monkeypatch):
+    """SURVEY §2.11 O8(c): a pathological payload must not hold a task
+    hostage — once the batch's wall clock crosses time_budget_s, the
+    remaining structured rows become status='failed' timeout rows
+    WITHOUT entering the kernel.  Driven directly (no Spark): the
+    extractor is a plain generator over RecordBatches, and the slow
+    kernel is monkeypatched in-process."""
+    import time as _time
+
+    import pyarrow as pa
+
+    from tool_documentsconverter_spark.operators.extract import (
+        _make_extractor,
+    )
+
+    entered = []
+
+    def slow_kernel(conv_id, turn_idx, text, fmt_hint=""):
+        entered.append(turn_idx)
+        _time.sleep(0.05)
+        return ("# slow\n", K.OK, "")
+
+    monkeypatch.setattr(K, "extract_turn", slow_kernel)
+    batch = pa.RecordBatch.from_pydict({
+        "conv_id": pa.array(["c"] * 6, type=pa.string()),
+        "turn_idx": pa.array(list(range(6)), type=pa.int32()),
+        "text": pa.array(["<html><body>x</body></html>"] * 6,
+                         type=pa.string()),
+        "fmt": pa.array(["html"] * 6, type=pa.string()),
+    })
+    out = next(_make_extractor(time_budget_s=0.08)(iter([batch])))
+    names = out.schema.names
+    status = out.column(names.index("status")).to_pylist()
+    message = out.column(names.index("message")).to_pylist()
+    md = out.column(names.index("md")).to_pylist()
+    # the first row started inside the budget and completed
+    assert status[0] == K.OK and md[0] == "# slow\n"
+    # at least one later row was cut off: failed, never entered the
+    # kernel, with the timeout message (and the task COMPLETED — this
+    # very assertion is the no-hang evidence)
+    cut = [i for i, s in enumerate(status) if s == K.FAILED]
+    assert cut, status
+    for i in cut:
+        assert "time budget" in message[i] and md[i] is None
+        assert i not in entered
+    # unlimited (default None) runs every row
+    entered.clear()
+    out2 = next(_make_extractor()(iter([batch])))
+    st2 = out2.column(out2.schema.names.index("status")).to_pylist()
+    assert st2 == [K.OK] * 6 and entered == list(range(6))
+
+
+def test_time_budget_plumbs_through_spark(spark):
+    """extract(time_budget_s=0) through a real mapInArrow stage: every
+    structured row is a budget-failed row, the vectorized text rows
+    are unmetered and stay ok, and the job finishes (per-row failure,
+    not task abort)."""
+    df = spark.createDataFrame(
+        [("c", 0, "plain text"),
+         ("c", 1, "<html><body>hi</body></html>"),
+         ("c", 2, "%PDF-1.4 broken")],
+        "conv_id string, turn_idx int, text string")
+    got = {r.turn_idx: r
+           for r in extract(df, time_budget_s=0.0).collect()}
+    assert got[0].status == K.OK
+    for i in (1, 2):
+        assert got[i].status == K.FAILED, got[i]
+        assert "time budget" in got[i].message

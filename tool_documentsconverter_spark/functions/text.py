@@ -13,14 +13,28 @@ from pyspark.sql import functions as F
 # _sanitize_filename (xlsx_to_csv/main.py:64-67) as a regex class
 SANITIZE_RE = r'[/\\:*?"<>|]'
 
+# Python str.strip()'s exact whitespace set (every char where
+# str.isspace() is true) as an explicit Java-regex character class.
+# Java's \s is ASCII-only (space/tab/\n/\x0b/\f/\r), so a bare \s
+# strip would leave \xa0, 　, \x1c-\x1f etc. on the Column path
+# while the kernel/arrow paths strip them — byte-divergent stems.
+# \x{...} escape syntax is the dialect BOTH Java regex (Spark) and
+# RE2 (DuckDB) accept, so the oracle SQL replays this exact pattern.
+_PY_WS_CLASS = (
+    r"[\x{09}-\x{0d}\x{1c}-\x{1f}\x{20}\x{85}\x{a0}\x{1680}"
+    r"\x{2000}-\x{200a}\x{2028}\x{2029}\x{202f}\x{205f}\x{3000}]"
+)
+PY_STRIP_RE = f"^{_PY_WS_CLASS}+|{_PY_WS_CLASS}+$"
+
 
 def sanitize_stem(col: Column, default: str = "document") -> Column:
     """Column twin of kernels.sanitize_stem: blacklist -> '_', strip,
-    default when empty.  Whitespace strip via regexp (NOT F.trim —
-    SQL trim strips spaces only, Python .strip() strips all
-    whitespace; the kernel and this twin must agree byte-for-byte)."""
+    default when empty.  Whitespace strip via an explicit character
+    class matching Python str.strip() (NOT F.trim — SQL trim strips
+    spaces only — and NOT Java \\s, which is ASCII-only; the kernel,
+    arrow, and Column paths must agree byte-for-byte)."""
     cleaned = F.regexp_replace(
-        F.regexp_replace(col, SANITIZE_RE, "_"), r"^\s+|\s+$", ""
+        F.regexp_replace(col, SANITIZE_RE, "_"), PY_STRIP_RE, ""
     )
     return F.when(cleaned == "", F.lit(default)).otherwise(cleaned)
 

@@ -55,6 +55,12 @@ def parse_args(argv=None) -> argparse.Namespace:
                         "(default, measured faster); 'column' = "
                         "pure-Catalyst md for text rows + Arrow stage for "
                         "structured only (A/B evidence)")
+    p.add_argument("--time-budget-s", type=float, default=None,
+                   help="soft per-batch wall-clock budget for the "
+                        "structured dispatch loop: rows past the budget "
+                        "become status='failed' timeout rows instead of "
+                        "entering a kernel (default: unlimited, like the "
+                        "reference's config.yaml timeout: null)")
     p.add_argument("--repeat", type=int, default=1,
                    help="run the pipeline N times (force on reruns) and "
                         "report each; last run is steady-state (warm "
@@ -99,6 +105,7 @@ def main(argv=None) -> int:
             include_fmts=get(cfg, "file_types"),
             exclude_convs=get(cfg, "filters.exclude_sources"),
             text_path=args.text_path,
+            time_budget_s=args.time_budget_s,
         )
         elapsed = time.perf_counter() - t0
         print(json.dumps({

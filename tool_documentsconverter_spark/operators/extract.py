@@ -104,13 +104,27 @@ def _text_md_vec(conv: pa.Array, turn: pa.Array, text: pa.Array) -> pa.Array:
     )
 
 
-def _make_extractor(hint_col: str | None = None, drop_cols: tuple = ()):
+def _make_extractor(hint_col: str | None = None, drop_cols: tuple = (),
+                    time_budget_s: float | None = None):
     """Arrow-native batch extractor.  Deliberately NO pandas round
     trip: original columns pass through as untouched Arrow arrays
     (zero copy), the plain-text class is emitted by pyarrow.compute
     kernels over whole arrays, and only structured payloads
     materialize to Python (gathered with `take` so the per-row loop
-    touches exactly the structured subset)."""
+    touches exactly the structured subset).
+
+    ``time_budget_s`` is the SOFT per-batch wall-clock budget (SURVEY
+    §2.11 O8(c)): checked BETWEEN rows of the structured dispatch
+    loop — once a batch's elapsed time crosses it, every remaining
+    structured row is emitted as status='failed' with a timeout
+    message instead of entering the kernel, so one pathological
+    payload (catastrophic regex, deeply nested XML) cannot hold a
+    task hostage for the rest of its batch.  Soft: the row that is
+    already inside the kernel when the budget expires runs to
+    completion (no mid-kernel interruption), and the vectorized
+    plain-text path is not metered (it is data-independent template
+    work).  None (the default) = unlimited, matching the reference's
+    own default (config.yaml:30 timeout: null)."""
 
     def _extract_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         extract_turn = kernels.extract_turn
@@ -166,6 +180,14 @@ def _make_extractor(hint_col: str | None = None, drop_cols: tuple = ()):
                 st_s: List[str] = []
                 msg_s: List[str] = []
                 for c, ti, t, h in zip(sub_conv, sub_turn, sub_text, sub_hint):
+                    if (time_budget_s is not None
+                            and time.perf_counter() - t0 > time_budget_s):
+                        m_s.append(None)
+                        st_s.append(kernels.FAILED)
+                        msg_s.append(
+                            f"batch time budget {time_budget_s}s "
+                            "exceeded before row; extraction skipped")
+                        continue
                     m, s, msg = extract_turn(c, ti, t, fmt_hint=str(h or ""))
                     m_s.append(m)
                     st_s.append(s)
@@ -230,7 +252,8 @@ def _arrow_out_schema(df: DataFrame, drop: tuple) -> str:
 def extract(df: DataFrame, hint_col: str | None = None,
             drop_cols: tuple = (), text_path: str = "arrow",
             observe_arrow_in: Optional[Observation] = None,
-            observe_text_in: Optional[Observation] = None) -> DataFrame:
+            observe_text_in: Optional[Observation] = None,
+            time_budget_s: float | None = None) -> DataFrame:
     """Append (fmt, md, status, message, seconds) extraction columns.
 
     Input must carry conv_id:string, turn_idx:int, text:string; all
@@ -286,7 +309,8 @@ def extract(df: DataFrame, hint_col: str | None = None,
                 observe_arrow_in, F.count(F.lit(1)).alias("rows_in")
             )
         arrow_out = arrow_df.mapInArrow(
-            _make_extractor(hint_col, drop), _arrow_out_schema(df, drop)
+            _make_extractor(hint_col, drop, time_budget_s),
+            _arrow_out_schema(df, drop)
         )
         return text_out.unionByName(arrow_out)
 
@@ -294,5 +318,5 @@ def extract(df: DataFrame, hint_col: str | None = None,
         raise ValueError(f"unknown text_path: {text_path!r}")
     if observe_arrow_in is not None:
         df = df.observe(observe_arrow_in, F.count(F.lit(1)).alias("rows_in"))
-    return df.mapInArrow(_make_extractor(hint_col, drop),
+    return df.mapInArrow(_make_extractor(hint_col, drop, time_budget_s),
                          _arrow_out_schema(df, drop))

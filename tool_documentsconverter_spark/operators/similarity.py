@@ -237,7 +237,22 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     if len(centroids) != n_cells:
         raise ValueError(f"centroids has {len(centroids)} cells, "
                          f"expected n_cells={n_cells}")
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("cvec"))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qvec"))
+    return _ivf_search(spark, c, q, centroids, n_probe, k)
 
+
+def _ivf_search(spark, corpus_side: DataFrame, query_side: DataFrame,
+                centroids: list, n_probe: int, k: int) -> DataFrame:
+    """Shared IVF probe/score plan over a prepared corpus side
+    ``corpus_side = (neighbor_id, cvec)`` and query side
+    ``query_side = (query_id, qvec)`` — the float path (ivf_topk) and the int8-code path
+    (ivf_quantized_topk) differ only in how ``cvec`` is produced.
+
+    See the comment block below for why centroids ride as one
+    broadcast row."""
     # centroids as ONE broadcast row holding an array<array<double>>
     # column — not unrolled literal expressions (an n_cells x dim
     # literal Column tree costs O(cells * dim) driver plan-build time
@@ -247,6 +262,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     # a broadcast single-row join, the argmin is a higher-order
     # aggregate evaluated per row inside the scan stage — ZERO
     # shuffles between the parquet read and the probe join.
+    # (comment block kept verbatim from the pre-refactor ivf_topk)
     cent_arr = spark.createDataFrame(
         [([[float(v) for v in c] for c in centroids],)],
         "cents array<array<double>>",
@@ -270,8 +286,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         return F.array_min(scored_cells)["cell"]
 
     c = (
-        corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).alias("cvec"))
+        corpus_side
         .crossJoin(F.broadcast(cent_arr))
         .withColumn("cell", _argmin_cell(F.col("cvec")))
         .drop("cents")
@@ -282,8 +297,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     # is cheap), keep n_probe -> equi-join key
     wq = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("cell"))
     q = (
-        queries.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).alias("qvec"))
+        query_side
         .crossJoin(F.broadcast(cent_arr))
         .select(
             "query_id", "qvec",
@@ -498,3 +512,47 @@ def quantized_brute_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "score")
     )
+
+
+def ivf_quantized_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                       n_cells: int = 16, n_probe: int = 4,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       seed: int = 42, train_cap: int = 100_000,
+                       centroids: list | None = None) -> DataFrame:
+    """IVF ANN whose posting lists store INT8 CODES — the composition
+    of quantize_embeddings and ivf_topk (VERDICT r5 item 5), i.e. the
+    actual 10^12-row serving shape: the index artifact per vector is
+    (cell:int, scale:double, 64 int8 codes) ~ 70 bytes instead of a
+    256-byte float32 vector, so posting lists for the whole corpus are
+    4x more likely to sit in executor page cache, and the probe join
+    moves 4x fewer bytes through the shuffle.
+
+    Scoring dequantizes on the fly (``q * scale / 127`` inside the
+    same codegen'd higher-order expression — no Python, no extra
+    pass); an integer dot-product variant would save the multiply but
+    still needs the per-pair scale product, so the byte traffic — the
+    actual 100 TB lever — is identical.  Cell assignment also runs on
+    the dequantized codes: the posting lists must be rebuildable from
+    the stored artifact alone (codes + scale), never from the float
+    vectors they replaced.
+
+    With ``n_probe == n_cells`` every cell is probed and the result
+    equals quantized_brute_topk exactly (the oracle-checkable
+    configuration); at production probes the measured recall floor vs
+    the float exact path is pinned in tests/test_similarity.py and
+    scripts/ann_recall.py."""
+    spark = corpus.sparkSession
+    if centroids is None:
+        centroids = fit_ivf_centroids(corpus, n_cells=n_cells, seed=seed,
+                                      train_cap=train_cap, vec_col=vec_col)
+    if len(centroids) != n_cells:
+        raise ValueError(f"centroids has {len(centroids)} cells, "
+                         f"expected n_cells={n_cells}")
+    qc = quantize_embeddings(corpus, id_col, vec_col)
+    c = qc.select(
+        F.col(id_col).alias("neighbor_id"),
+        dequantize(F.col("qvec"), F.col("scale")).alias("cvec"),
+    )
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qvec"))
+    return _ivf_search(spark, c, q, centroids, n_probe, k)

@@ -175,6 +175,7 @@ def run_extract_job(
     include_fmts: Optional[Sequence[str]] = None,
     exclude_convs: Optional[Sequence[str]] = None,
     text_path: str = "arrow",
+    time_budget_s: Optional[float] = None,
 ) -> JobSummary:
     """The full north-rule job: resume anti-join -> salted repartition
     -> stable sort -> Arrow extraction -> partitioned write ->
@@ -257,7 +258,8 @@ def run_extract_job(
                         drop_cols=("text", "fmt_hint"),
                         text_path=text_path,
                         observe_arrow_in=obs_arrow_in,
-                        observe_text_in=obs_text_in)
+                        observe_text_in=obs_text_in,
+                        time_budget_s=time_budget_s)
     obs = Observation("extract_metrics")
     observed = extracted.observe(
         obs,

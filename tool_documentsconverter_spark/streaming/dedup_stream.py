@@ -43,18 +43,38 @@ from pyspark.sql import functions as F
 from ..operators.dedup import minhash_signatures
 
 
+def _sig_dir_exists(spark: SparkSession, sig_dir: str) -> bool:
+    """Hadoop-FS existence probe for the committed signature root.
+    An explicit probe, NOT a try/except around the read: a broad
+    except would also swallow transient FS errors or a corrupt footer
+    in a previously committed partition as 'first batch', silently
+    emitting a batch's pairs with no old-vs-new matches (data loss
+    with no failure signal — ADVICE r5).  With the probe, a genuine
+    read error fails the batch and foreachBatch retries it."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(sig_dir)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))
+
+
 def _batch_pairs(spark: SparkSession, new_sig: DataFrame, sig_dir: str,
                  batch_id: int, id_col: str, max_bucket: int) -> DataFrame:
     """Candidate pairs with >=1 endpoint in the new batch."""
     probe = (new_sig.select(F.col(id_col).alias("_new_id"),
                             "band", "minhash"))
-    try:
+    if _sig_dir_exists(spark, sig_dir):
+        # Explicit schema (signature columns + the batch_id partition
+        # column): no footer-driven schema inference, and the
+        # batch_id < N partition filter prunes a crashed attempt's own
+        # half-written batch_id=N directory before any file is opened.
+        sig_schema = (new_sig.select(id_col, "band", "minhash")
+                      .schema.add("batch_id", "long"))
         prev = (
-            spark.read.parquet(sig_dir)
+            spark.read.schema(sig_schema).parquet(sig_dir)
             .where(F.col("batch_id") < batch_id)
             .select(id_col, "band", "minhash")
         )
-    except Exception:  # first batch: no committed signatures yet
+    else:  # first batch: no committed signatures yet
         prev = new_sig.select(id_col, "band", "minhash").limit(0)
     all_sig = prev.unionByName(new_sig.select(id_col, "band", "minhash"))
 
