@@ -818,6 +818,97 @@ def _q_incremental_dedup(spark, sf_dir):
 _SQL_INCREMENTAL_DEDUP = _SQL_MINHASH_PAIRS + "ORDER BY 1, 2\n"
 
 
+def _q_dedup_compaction(spark, sf_dir):
+    """Streaming-dedup retraction path (VERDICT r5 item 7): ten clones
+    of doc 0 are appended to the corpus so their LSH bucket CROSSES
+    max_bucket=4 mid-stream (1-file triggers).  The no-retract guard
+    leaves the early-emitted clone pairs behind; compact_pairs replays
+    the committed signature table with the batch guard (final bucket
+    sizes) and tombstones them, so read_pairs_compacted equals the
+    batch operator minhash_lsh_pairs(max_bucket=4) over the full
+    synthesized corpus — which is exactly what the DuckDB oracle
+    computes (streaming/dedup_stream.py compact_pairs;
+    tests/test_stream_dedup.py pins convergence + the no-op case)."""
+    import shutil
+    import tempfile
+
+    from tool_documentsconverter_spark.streaming.dedup_stream import (
+        compact_pairs,
+        read_pairs_compacted,
+        run_stream_dedup,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 48)
+        .select("doc_id", "text")
+    )
+    clone_text = docs.where(F.col("doc_id") == 0).select("text")
+    clones = (
+        spark.range(10)
+        .select((F.col("id") + 1000).alias("doc_id"))
+        .crossJoin(F.broadcast(clone_text))
+    )
+    corpus = docs.unionByName(clones)
+    base = tempfile.mkdtemp(prefix="dedup_compact_")
+    try:
+        inp = f"{base}/in"
+        corpus.repartition(5).write.parquet(inp)
+        q = run_stream_dedup(spark, inp, f"{base}/sig", f"{base}/pairs",
+                             f"{base}/ckpt", n_bands=4, max_bucket=4,
+                             max_files_per_trigger=1)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "dedup_compaction stream did not finish within 300s")
+        compact_pairs(spark, f"{base}/sig", f"{base}/pairs",
+                      f"{base}/comp", max_bucket=4)
+        out = (read_pairs_compacted(spark, f"{base}/pairs", f"{base}/comp")
+               .orderBy("id_a", "id_b"))
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+# Batch truth over the synthesized corpus (docs<48 + 10 clones of doc
+# 0) WITH the bucket cap replayed: windowed bucket count <= 4 before
+# the self-join — the guard semantics of minhash_lsh_pairs.
+_SQL_DEDUP_COMPACTION = r"""
+WITH docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 48
+  UNION ALL
+  SELECT 1000 + i AS doc_id,
+         (SELECT text FROM documents WHERE doc_id = 0) AS text
+  FROM range(10) t(i)
+), toks AS (
+  SELECT doc_id,
+         string_split_regex(lower(trim(coalesce(text, ''))), '\s+') AS t
+  FROM docs
+), sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(t, i + 1, i + 3), ' ') AS shingle
+  FROM toks,
+       LATERAL unnest(range(0, greatest(len(t) - 3, 0) + 1)) AS u(i)
+), sig AS (
+  SELECT doc_id, band,
+         min(md5(CAST(band AS VARCHAR) || '|' || shingle)) AS minhash
+  FROM sh, LATERAL unnest([0, 1, 2, 3]) AS b(band)
+  GROUP BY doc_id, band
+), bounded AS (
+  SELECT doc_id, band, minhash FROM (
+    SELECT sig.*, count(*) OVER (PARTITION BY band, minhash) AS n
+    FROM sig)
+  WHERE n <= 4
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_bands
+FROM bounded a JOIN bounded b
+  ON a.band = b.band AND a.minhash = b.minhash
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 def _q_domain_stats(spark, sf_dir):
     """Corpus domain table (web-curation staple): per-occurrence URL
     hosts extracted with one codegen regexp_extract_all, lowercased,
@@ -2438,6 +2529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize": _q_embedding_quantize,
         # new round 6:
         "ann_ivf_quantized": _q_ivf_quantized,
+        "dedup_compaction": _q_dedup_compaction,
         # parked in round 5 (driver-green r1-r4), back in the window:
         "text_wrap_md": _q_text_wrap,
         "sanitize_stem": _q_sanitize,
@@ -2535,6 +2627,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": _SQL_MINHASH_PAIRS,
         "dup_clusters": _SQL_DUP_CLUSTERS,
         "incremental_dedup": _SQL_INCREMENTAL_DEDUP,
+        "dedup_compaction": _SQL_DEDUP_COMPACTION,
         "domain_stats": _SQL_DOMAIN_STATS,
         "embedding_quantize": _SQL_EMBEDDING_QUANTIZE,
         "ngram_jaccard": _SQL_NGRAM_JACCARD,

@@ -114,3 +114,78 @@ def test_mega_bucket_guard_suppresses_pairs(spark, tmp_path):
     # nothing
     assert len(got) <= 6
     assert all(a < 8 and b < 8 for a, b, _ in got)
+
+
+def test_compaction_converges_to_batch_after_cap_crossing(spark, tmp_path):
+    """VERDICT r5 item 7: when a bucket crosses max_bucket MID-STREAM,
+    the no-retract guard leaves already-emitted pairs behind — the
+    compaction job must replay the committed signature table with the
+    batch guard (final bucket sizes) and tombstone them, so the
+    compacted view equals minhash_lsh_pairs over the full corpus."""
+    from tool_documentsconverter_spark.streaming.dedup_stream import (
+        compact_pairs,
+        read_pairs_compacted,
+    )
+
+    # 8 identical docs (bucket grows 1 -> 8 across 1-file triggers,
+    # crossing the cap of 4 mid-stream) + 2 genuinely near-dup docs
+    # whose bucket STAYS under the cap (their pairs must survive
+    # compaction untouched)
+    rows = [(i, "identical boilerplate text repeated verbatim")
+            for i in range(8)]
+    rows += [(200, "rare phrase alpha beta gamma delta epsilon"),
+             (201, "rare phrase alpha beta gamma delta epsilon zeta")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    inp = str(tmp_path / "in")
+    df.repartition(5).write.parquet(inp)
+    sig, pairs, ckpt, comp = (str(tmp_path / d)
+                              for d in ("sig", "pairs", "ckpt", "comp"))
+    q = run_stream_dedup(spark, inp, sig, pairs, ckpt, n_bands=N_BANDS,
+                         max_bucket=4, max_files_per_trigger=1)
+    assert q.awaitTermination(180)
+
+    truth = sorted(
+        (r.id_a, r.id_b, r.shared_bands)
+        for r in minhash_lsh_pairs(df, "doc_id", "text", n_bands=N_BANDS,
+                                   max_bucket=4).collect()
+    )
+    # the survivor pair exists, so convergence below is not vacuous
+    assert any(a == 200 and b == 201 for a, b, _ in truth)
+
+    comp_df = compact_pairs(spark, sig, pairs, comp, max_bucket=4)
+    got = sorted(
+        (r.id_a, r.id_b, r.shared_bands)
+        for r in read_pairs_compacted(spark, pairs, comp).collect()
+    )
+    assert got == truth
+    # the compaction partition actually carried tombstones iff the
+    # stream over-emitted (it does whenever >=2 of the identical docs
+    # arrived before the cap was crossed)
+    over_emitted = sorted(_pairs(spark, pairs)) != truth
+    n_deletes = comp_df.where(F.col("op") == "delete").count()
+    assert (n_deletes > 0) == over_emitted
+
+
+def test_compaction_is_noop_when_no_cap_crossed(spark, corpus, batch_truth,
+                                                tmp_path):
+    """On an input where no bucket ever crosses the cap, compaction
+    writes no delete/update/insert rows and the compacted view equals
+    the plain union (and the batch operator)."""
+    from tool_documentsconverter_spark.streaming.dedup_stream import (
+        compact_pairs,
+        read_pairs_compacted,
+    )
+
+    inp, _ = corpus
+    sig, pairs, ckpt, comp = (str(tmp_path / d)
+                              for d in ("sig", "pairs", "ckpt", "comp"))
+    q = run_stream_dedup(spark, inp, sig, pairs, ckpt,
+                         n_bands=N_BANDS, max_files_per_trigger=2)
+    assert q.awaitTermination(180)
+    comp_df = compact_pairs(spark, sig, pairs, comp)
+    assert comp_df.count() == 0
+    got = sorted(
+        (r.id_a, r.id_b, r.shared_bands)
+        for r in read_pairs_compacted(spark, pairs, comp).collect()
+    )
+    assert got == batch_truth
