@@ -196,3 +196,31 @@ def test_extract_arrow_path_scans_source_once(spark, sf_dir):
 
     assert n_scans(extract(turns, text_path="arrow")) == 1
     assert n_scans(extract(turns, text_path="column")) == 2
+
+
+def test_ivf_quantized_adds_no_scans_or_shuffles(spark, sf_dir):
+    """int8 quantization must be a FREE plan transformation: the
+    quantize -> dequantize chain is codegen'd higher-order expressions
+    inside the corpus scan stage, so ivf_quantized_topk's physical
+    plan has exactly the same parquet-scan count and exchange count
+    as the float ivf_topk plan (same centroids, same probes).  Pinned
+    so a refactor that materializes codes through a shuffle or a
+    second scan fails loudly."""
+    import re as _re
+
+    from tool_documentsconverter_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = SIM.fit_ivf_centroids(emb, n_cells=8)
+    queries = emb.where(F.col("vec_id") < 3)
+
+    def counts(df):
+        plan = explain(df)
+        return (len(_re.findall(r"\(\d+\) Scan parquet", plan)),
+                len(_re.findall(r"\(\d+\) Exchange", plan)))
+
+    f = counts(SIM.ivf_topk(emb, queries, k=5, n_cells=8, n_probe=4,
+                            centroids=cents))
+    q = counts(SIM.ivf_quantized_topk(emb, queries, k=5, n_cells=8,
+                                      n_probe=4, centroids=cents))
+    assert q == f, (q, f)

@@ -222,8 +222,10 @@ def test_ivf_quantized_full_probe_equals_quantized_exact(emb, queries):
 def test_ivf_quantized_recall_floor(emb, queries, exact):
     """Production-probe recall floor for the int8-IVF serving shape vs
     the FLOAT exact baseline: quantization (<1% cosine error) stacked
-    on half-probe IVF (floor 0.6 for the float path) — measured 0.88
-    on this table (scripts/ann_recall.py); pin >= 0.6 so the composed
+    on half-probe IVF (floor 0.6 for the float path) — measured
+    IDENTICAL to the float path on this table (0.608 at 16c/4probe,
+    0.840 at 8probe, scripts/ann_recall.py): int8 error never flips a
+    cell assignment or a top-5 rank here.  Pin >= 0.6 so the composed
     path can never silently fall below its weakest component."""
     got = {
         (r.query_id, r.neighbor_id)
