@@ -25,6 +25,7 @@ from tool_documentsconverter_spark.functions.sniff import sniff_format
 from tool_documentsconverter_spark.functions.text import (PY_STRIP_RE,
                                                            sanitize_stem)
 from tool_documentsconverter_spark.operators import dedup as D
+from tool_documentsconverter_spark.operators import ranking as R
 from tool_documentsconverter_spark.operators import similarity as SIM
 from tool_documentsconverter_spark.operators import textstats as TS
 
@@ -2513,6 +2514,222 @@ QUALIFY rank <= 5
 """
 
 
+# ---------------------------------------------------------------------------
+# round-6 corpus-curation additions: exact-substring duplication stats,
+# winnowing fingerprints, corpus-trained LM perplexity, TF-IDF / BM25
+
+
+def _q_dup_ngram_stats(spark, sf_dir):
+    """Per-document exact-substring duplication fraction (Lee et al.
+    2021 suffix-array dedup signal, operators/dedup.py
+    dup_ngram_stats): distinct word 5-grams per doc, the share of them
+    occurring in >= 2 distinct documents.  One gram-partition window
+    COUNT + one map-side-combinable doc rollup — no joins, no pairs,
+    mega-cluster-immune by construction."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.dup_ngram_stats(docs, "doc_id", "text", n=5).orderBy("doc_id")
+
+
+_SQL_DUP_NGRAM_STATS = """
+WITH toks AS (
+  SELECT doc_id,
+         string_split_regex(lower(trim(coalesce(text, ''))), '\\s+') AS t
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(t, i + 1, i + 5), ' ') AS shingle
+  FROM toks,
+       LATERAL unnest(range(0, greatest(len(t) - 5, 0) + 1)) AS u(i)
+), tagged AS (
+  SELECT doc_id, count(*) OVER (PARTITION BY shingle) AS docs_with
+  FROM sh
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN docs_with >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS dup_grams,
+       round(CAST(sum(CASE WHEN docs_with >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             / count(*), 6) AS dup_frac
+FROM tagged GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def _q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing fingerprints (Schleimer et al. 2003,
+    operators/textstats.py winnow_fingerprints): k=3 word-gram md5
+    hashes, window w=4 minima, distinct per doc.  Zero-shuffle
+    per-row array fold; any >= 6-word shared substring between two
+    docs yields an identical fingerprint in both."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return TS.winnow_fingerprints(docs, "doc_id", "text", k=3, w=4).orderBy(
+        "doc_id", "fingerprint")
+
+
+_SQL_WINNOW = """
+WITH toks AS (
+  SELECT doc_id,
+         string_split_regex(lower(trim(coalesce(text, ''))), '\\s+') AS t
+  FROM documents WHERE doc_id < 200
+), g AS (
+  SELECT doc_id, i,
+         md5(array_to_string(list_slice(t, i + 1, i + 3), ' ')) AS h,
+         greatest(len(t) - 3, 0) + 1 AS n_g
+  FROM toks,
+       LATERAL unnest(range(0, greatest(len(t) - 3, 0) + 1)) AS u(i)
+), sel AS (
+  SELECT doc_id, i, n_g,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+  FROM g
+)
+SELECT DISTINCT doc_id, fp AS fingerprint
+FROM sel WHERE i <= greatest(n_g - 4, 0)
+ORDER BY doc_id, fingerprint
+"""
+
+
+def _q_lm_perplexity(spark, sf_dir):
+    """Corpus-trained add-one bigram-LM scoring (the CCNet quality
+    signal, operators/textstats.py lm_perplexity): per-doc mean
+    -ln p(w2|w1) and perplexity under a model counted from the corpus
+    itself in the same plan — window COUNTs attach the model to
+    occurrence rows, no model join, no driver-side state."""
+    docs = _t(spark, sf_dir, "documents")
+    return TS.lm_perplexity(docs, "doc_id", "text").orderBy("doc_id")
+
+
+_SQL_LM_PERPLEXITY = """
+WITH wrds AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS ws
+  FROM documents
+), bg AS (
+  SELECT doc_id, ws[i + 1] AS w1, ws[i + 2] AS w2
+  FROM wrds,
+       LATERAL unnest(range(0, greatest(len(ws) - 1, 0))) AS u(i)
+  WHERE len(ws) >= 2
+), v AS (
+  SELECT count(DISTINCT w) AS v
+  FROM (SELECT unnest(ws) AS w FROM wrds)
+), cnt AS (
+  SELECT doc_id,
+         count(*) OVER (PARTITION BY w1, w2) AS c2,
+         count(*) OVER (PARTITION BY w1) AS c1
+  FROM bg
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(-ln((c2 + 1) / (c1 + v))), 6) AS avg_nll,
+       round(exp(avg(-ln((c2 + 1) / (c1 + v)))), 4) AS ppl
+FROM cnt CROSS JOIN v
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def _q_tfidf_terms(spark, sf_dir):
+    """Top-3 TF-IDF terms per document (smooth_idf variant,
+    operators/ranking.py tfidf_topk_terms): one map-side-combinable
+    (doc, term) rollup, df via term-partition window, bounded
+    per-doc top-k window — no global sort, no df-table join."""
+    docs = _t(spark, sf_dir, "documents")
+    return R.tfidf_topk_terms(docs, "doc_id", "text", k=3).orderBy(
+        "doc_id", "rank")
+
+
+_SQL_TFIDF = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(
+           string_split_regex(lower(trim(coalesce(text, ''))), '\\s+'),
+           x -> x <> '')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+), n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term,
+         round(tf * (ln((n_docs + 1)
+                        / (count(*) OVER (PARTITION BY term) + 1)) + 1),
+               6) AS score
+  FROM tf CROSS JOIN n
+), ranked AS (
+  SELECT doc_id, term,
+         CAST(row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY score DESC, term) AS INTEGER)
+           AS rank,
+         score
+  FROM scored
+)
+SELECT doc_id, term, rank, score FROM ranked
+WHERE rank <= 3 ORDER BY doc_id, rank
+"""
+
+
+def _q_bm25_topk(spark, sf_dir):
+    """BM25 top-10 for the fixed bag {scan, table, window}
+    (operators/ranking.py bm25_topk): zero token explode — per-doc
+    tfs are codegen size(filter(...)) on the scan, corpus stats are
+    ONE broadcast single-row aggregate, top-k is
+    TakeOrderedAndProject."""
+    docs = _t(spark, sf_dir, "documents")
+    return R.bm25_topk(docs, ["scan", "table", "window"],
+                       "doc_id", "text", topk=10).orderBy("rank")
+
+
+# terms sorted ascending = the operator's canonical order; decimal
+# literals are cast to DOUBLE so DuckDB's decimal arithmetic cannot
+# diverge from Spark's double arithmetic (round-6 then absorbs ulp)
+_SQL_BM25 = """
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(ws) AS DOUBLE) AS dl,
+         CAST(len(list_filter(ws, x -> x = 'scan')) AS DOUBLE) AS tf_0,
+         CAST(len(list_filter(ws, x -> x = 'table')) AS DOUBLE) AS tf_1,
+         CAST(len(list_filter(ws, x -> x = 'window')) AS DOUBLE) AS tf_2
+  FROM (
+    SELECT doc_id,
+           list_filter(
+             string_split_regex(lower(trim(coalesce(text, ''))), '\\s+'),
+             x -> x <> '') AS ws
+    FROM documents)
+), stats AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl,
+         sum(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS df_0,
+         sum(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS df_1,
+         sum(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS df_2
+  FROM base
+), scored AS (
+  SELECT doc_id,
+         round(
+           ln(1 + (n_docs - df_0 + CAST(0.5 AS DOUBLE))
+                  / (df_0 + CAST(0.5 AS DOUBLE)))
+             * (tf_0 * (CAST(1.2 AS DOUBLE) + 1)
+                / (tf_0 + CAST(1.2 AS DOUBLE)
+                   * (1 - CAST(0.75 AS DOUBLE)
+                      + CAST(0.75 AS DOUBLE) * dl / avgdl)))
+           + ln(1 + (n_docs - df_1 + CAST(0.5 AS DOUBLE))
+                    / (df_1 + CAST(0.5 AS DOUBLE)))
+             * (tf_1 * (CAST(1.2 AS DOUBLE) + 1)
+                / (tf_1 + CAST(1.2 AS DOUBLE)
+                   * (1 - CAST(0.75 AS DOUBLE)
+                      + CAST(0.75 AS DOUBLE) * dl / avgdl)))
+           + ln(1 + (n_docs - df_2 + CAST(0.5 AS DOUBLE))
+                    / (df_2 + CAST(0.5 AS DOUBLE)))
+             * (tf_2 * (CAST(1.2 AS DOUBLE) + 1)
+                / (tf_2 + CAST(1.2 AS DOUBLE)
+                   * (1 - CAST(0.75 AS DOUBLE)
+                      + CAST(0.75 AS DOUBLE) * dl / avgdl))),
+           6) AS score
+  FROM base CROSS JOIN stats
+)
+SELECT doc_id, score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER)
+         AS rank
+FROM scored WHERE score > 0
+ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver grades exactly the FIRST 50 entries
     # (CORRECTNESS r3/r4/r5 each contain exactly 50 rows).  The local
@@ -2530,6 +2747,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new round 6:
         "ann_ivf_quantized": _q_ivf_quantized,
         "dedup_compaction": _q_dedup_compaction,
+        "dup_ngram_stats": _q_dup_ngram_stats,
+        "winnow_fingerprints": _q_winnow_fingerprints,
+        "lm_perplexity": _q_lm_perplexity,
+        "tfidf_terms": _q_tfidf_terms,
+        "bm25_topk": _q_bm25_topk,
         # parked in round 5 (driver-green r1-r4), back in the window:
         "text_wrap_md": _q_text_wrap,
         "sanitize_stem": _q_sanitize,
@@ -2573,14 +2795,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "seq_packing": _q_seq_packing,
         "ann_brute_topk": _q_ann_brute,
+        # outside the 50-entry driver window this round — every one of
+        # these has a hash-green driver row in >= 4 of rounds 1-5 and
+        # stays covered by the local parity harness:
         "xlsx_sheet_csv": _q_xlsx_sheet_csv,
         "extract_dispatch": _q_extract_dispatch,
         "extract_binary_dispatch": _q_extract_binary,
         "ann_lsh_topk": _q_lsh_ann,
         "ann_ivf_topk": _q_ivf_ann,
-        # outside the 50-entry driver window this round — every one of
-        # these has a hash-green driver row in ALL of rounds 1-5 and
-        # stays covered by the local parity harness:
         "skip_antijoin": _q_skip_antijoin,
         "exclude_predicates": _q_exclude_predicates,
         "verify_gate_counts": _q_verify_gate,
@@ -2630,6 +2852,11 @@ def oracle_sql() -> dict[str, str]:
         "dedup_compaction": _SQL_DEDUP_COMPACTION,
         "domain_stats": _SQL_DOMAIN_STATS,
         "embedding_quantize": _SQL_EMBEDDING_QUANTIZE,
+        "dup_ngram_stats": _SQL_DUP_NGRAM_STATS,
+        "winnow_fingerprints": _SQL_WINNOW,
+        "lm_perplexity": _SQL_LM_PERPLEXITY,
+        "tfidf_terms": _SQL_TFIDF,
+        "bm25_topk": _SQL_BM25,
         "ngram_jaccard": _SQL_NGRAM_JACCARD,
         "contamination_check": _SQL_CONTAMINATION,
         "simhash": _SQL_SIMHASH,

@@ -110,6 +110,8 @@ def main() -> None:
         "media_resize", "frame_sample", "media_headers",
         "media_audio", "domain_stats", "embedding_quantize",
         "ann_ivf_quantized",
+        "dup_ngram_stats", "winnow_fingerprints", "lm_perplexity",
+        "tfidf_terms", "bm25_topk",
     ]:
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, SF_DIR).count())

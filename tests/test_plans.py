@@ -224,3 +224,45 @@ def test_ivf_quantized_adds_no_scans_or_shuffles(spark, sf_dir):
     q = counts(SIM.ivf_quantized_topk(emb, queries, k=5, n_cells=8,
                                       n_probe=4, centroids=cents))
     assert q == f, (q, f)
+
+
+def test_winnow_fingerprints_is_shuffle_free(docs):
+    """Winnowing is a per-row array fold: grams, hashes, window minima
+    and the distinct-fold never leave the row, so the plan has ZERO
+    exchanges — the narrow-plan discipline that makes it run at scan
+    speed on 10^12 rows."""
+    from tool_documentsconverter_spark.operators import textstats as TS
+
+    plan = explain(TS.winnow_fingerprints(docs))
+    assert "Exchange" not in plan
+
+
+def test_corpus_stat_operators_never_sort_merge_join(docs):
+    """dup_ngram_stats / lm_perplexity / tfidf_topk_terms attach
+    corpus counts via window functions over the already-exploded rows
+    — there must be NO join of two corpus-sized sides (the df-table /
+    model-table join shape this family usually gets wrong); the only
+    join allowed is the broadcast of a one-row global aggregate."""
+    from tool_documentsconverter_spark.operators import dedup as D
+    from tool_documentsconverter_spark.operators import ranking as RK
+    from tool_documentsconverter_spark.operators import textstats as TS
+
+    for q in (D.dup_ngram_stats(docs), TS.lm_perplexity(docs),
+              RK.tfidf_topk_terms(docs)):
+        plan = explain(q)
+        assert "SortMergeJoin" not in plan
+        assert "ShuffledHashJoin" not in plan
+
+
+def test_bm25_is_two_scans_and_a_topk(docs):
+    """bm25_topk's plan shape: per-doc tfs as codegen expressions on
+    the scan (no explode/Generate), corpus stats broadcast back, and
+    the final top-k as TakeOrderedAndProject — never a global
+    rangepartitioning sort and never a corpus-side hash shuffle."""
+    from tool_documentsconverter_spark.operators import ranking as RK
+
+    plan = explain(RK.bm25_topk(docs, ["scan", "table"], topk=10))
+    assert "TakeOrderedAndProject" in plan
+    assert "Generate" not in plan  # no token explode
+    assert "rangepartitioning" not in plan
+    assert "Exchange hashpartitioning" not in plan

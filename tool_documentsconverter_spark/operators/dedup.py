@@ -385,3 +385,49 @@ def simhash(df: DataFrame, id_col: str, text_col: str,
         term = bit * F.lit(2 ** (n_bits - b))
         sim = term if sim is None else sim + term
     return per_doc.select(id_col, sim.cast("long").alias("simhash"))
+
+
+def dup_ngram_stats(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", n: int = 5) -> DataFrame:
+    """Exact-substring duplication statistics (the per-document signal
+    behind suffix-array exact dedup, Lee et al. 2021 "Deduplicating
+    Training Data Makes Language Models Better"): for each document,
+    how much of it is verbatim text that also appears elsewhere in the
+    corpus.  Output per document:
+
+      n_grams   — distinct word `n`-grams in the document;
+      dup_grams — of those, how many occur in >= 2 distinct documents;
+      dup_frac  — dup_grams / n_grams, rounded to 6 places.
+
+    A doc with dup_frac ~1.0 is a copy/boilerplate candidate even when
+    MinHash banding misses it (banding bounds Jaccard, not longest
+    shared substring); the reference pipeline has no corpus-level
+    notion of this at all — it is a training-data-curation addition.
+
+    Scale shape: the document side explodes DISTINCT n-grams once
+    (reusing `shingles`' slice+array_join idiom); per-gram document
+    counts come from a window COUNT over the gram partition — the
+    window's exchange partitions by exactly the gram key and is the
+    ONLY corpus-wide shuffle of raw grams; the per-document rollup
+    that follows is a map-side-combinable groupBy on the id.  No
+    joins, no pair generation: a gram shared by 10M documents costs
+    10M counted rows, never 10M^2 pairs, so the operator is immune to
+    the mega-cluster blowup that LSH needs `max_bucket` for.  At
+    deploy scale the gram strings in the exchange can be md5'd to
+    fixed 32-byte keys (one-line change, same algebra)."""
+    from pyspark.sql import Window
+
+    sh = shingles(df, id_col, text_col, k=n)
+    docs_with = F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    tagged = sh.withColumn("_docs_with", docs_with)
+    return (
+        tagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("_docs_with") >= 2).cast("long")).alias("dup_grams"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.round(F.col("dup_grams") / F.col("n_grams"), 6),
+        )
+    )

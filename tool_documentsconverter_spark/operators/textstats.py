@@ -392,3 +392,108 @@ def domain_stats(df, id_col: str = "doc_id", text_col: str = "text"):
         F.countDistinct(id_col).alias("doc_count"),
         F.count(F.lit(1)).alias("ref_count"),
     )
+
+
+def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        k: int = 3, w: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003): hash every word `k`-gram, slide a window of `w`
+    consecutive hashes over the document, select the minimum hash of
+    each window, and emit the distinct selected hashes as the
+    document's fingerprints.  Guarantee (the reason winnowing beats
+    "every i-th hash" sampling): any shared substring of at least
+    k + w - 1 words between two documents produces at least one
+    IDENTICAL fingerprint in both — so a plain equi-join on
+    (fingerprint) finds local plagiarism/quotation overlaps that
+    whole-document MinHash dilutes away.  Documents with fewer than
+    `w` k-grams contribute the minimum of all their hashes (>= 1
+    fingerprint per non-empty document).
+
+    Scale shape: ZERO shuffles — grams, hashes, sliding-window minima
+    and the distinct-fold are all array expressions inside
+    WholeStageCodegen on the scan (same narrow-plan discipline as
+    repetition_signals); the output explode is a per-row fan-out, not
+    an exchange.  Downstream overlap detection is then one equi-join
+    on a 32-byte key, to which the LSH mega-bucket guard pattern
+    applies unchanged.  md5 keeps the DuckDB oracle byte-identical;
+    swap for xxhash64 at deploy time."""
+    toks = F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))),
+                   TOKEN_SPLIT_RE)
+    g_idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0)))
+    hashes = F.transform(
+        g_idx, lambda i: F.md5(F.array_join(F.slice(toks, i + 1, k), " ")))
+    n_win = F.greatest(F.size(hashes) - w + 1, F.lit(1))
+    w_idx = F.sequence(F.lit(0), n_win - 1)
+    sels = F.transform(w_idx, lambda i: F.array_min(F.slice(hashes, i + 1, w)))
+    return df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(sels)).alias("fingerprint"),
+    )
+
+
+def lm_perplexity(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """CCNet-style statistical-LM quality scoring (Wenzek et al. 2020
+    use a KenLM 5-gram; this is the distributed self-contained
+    analog): train an add-one-smoothed word-bigram model ON THE CORPUS
+    ITSELF in one pass, then score every document with it —
+    low-perplexity documents are fluent/common phrasing, extreme
+    perplexity flags gibberish and mojibake; extreme LOW perplexity
+    flags boilerplate.  Per document (>= 1 bigram):
+
+      n_bigrams — scored bigram occurrences;
+      avg_nll   — mean of -ln p(w2|w1), p = (c(w1 w2) + 1) /
+                  (c(w1 ·) + V), c(w1 ·) = corpus count of w1 as a
+                  bigram prefix, V = corpus distinct-word count;
+      ppl       — exp(avg_nll).
+
+    Scale shape: the only corpus-wide data movement is the bigram
+    explode followed by two window COUNTs (partition (w1, w2), then
+    (w1)) — counts attach to occurrence rows directly, so there is NO
+    model-table join and no driver-side model at all; the per-document
+    rollup is a map-side-combinable groupBy, and V is a one-row
+    aggregate broadcast by the cross join.  At deploy scale, prune
+    hapax prefixes to an <unk> bucket before the window to cap key
+    cardinality; the add-one smoothing already gives unseen mass."""
+    from pyspark.sql import Window
+
+    words = F.regexp_extract_all(
+        F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+        F.lit("[a-z0-9]+"), 0)
+    b_idx = F.when(
+        F.size(words) >= 2, F.sequence(F.lit(0), F.size(words) - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    bg = df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                b_idx,
+                lambda i: F.struct(
+                    F.element_at(words, i + 1).alias("w1"),
+                    F.element_at(words, i + 2).alias("w2"),
+                ),
+            )
+        ).alias("b"),
+    ).select(id_col, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+
+    vocab = (
+        df.select(F.explode(words).alias("word"))
+        .agg(F.countDistinct("word").alias("v"))
+    )
+    c2 = F.count(F.lit(1)).over(Window.partitionBy("w1", "w2"))
+    c1 = F.count(F.lit(1)).over(Window.partitionBy("w1"))
+    scored = (
+        bg.withColumn("_c2", c2)
+        .withColumn("_c1", c1)
+        .crossJoin(F.broadcast(vocab))
+        .withColumn("_nll", -F.log((F.col("_c2") + 1) / (F.col("_c1") + F.col("v"))))
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("_nll"), 6).alias("avg_nll"),
+            F.round(F.exp(F.avg("_nll")), 4).alias("ppl"),
+        )
+    )
