@@ -22,6 +22,7 @@ import warnings
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..plans.fanout import fan_out
 from .textstats import TOKEN_SPLIT_RE
 
 
@@ -44,6 +45,11 @@ def exact_dedup_keys(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    # NOT fan_out'd: every consumer (simhash, hashed_embedding) does a
+    # cheap split+explode straight into a map-side-combinable groupBy,
+    # and the A/B measured the extra exchange as a net loss there
+    # (it also breaks the shared-exchange reuse in
+    # embedding_cosine_dups' banding plan)
     return df.select(
         F.col(id_col),
         F.explode(F.array_distinct(F.split(_norm(F.col(text_col)), TOKEN_SPLIT_RE)))
@@ -52,13 +58,30 @@ def tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
-    """Distinct word k-shingles per document."""
-    toks = F.split(_norm(F.col(text_col)), TOKEN_SPLIT_RE)
+    """Distinct word k-shingles per document.  The explode + shingle
+    build is the CPU-heavy narrow stage of every consumer, so the
+    input is fan_out'd first (no-op on properly split scans — see
+    plans/fanout.py).
+
+    The token array is MATERIALIZED in its own projection before the
+    shingle transform: Catalyst higher-order functions re-evaluate
+    any expression referenced inside the lambda body once PER ARRAY
+    ELEMENT (no loop-invariant hoisting), so an inlined split() would
+    re-tokenize the document once per shingle — O(n^2) in document
+    length.  A separate projection whose output the consumer
+    references more than once trips CollapseProject's non-cheap
+    duplication guard and stays a real per-row column (measured 5.4x
+    on the sf0.1 shingle explode)."""
+    step = fan_out(df).select(
+        F.col(id_col),
+        F.split(_norm(F.col(text_col)), TOKEN_SPLIT_RE).alias("_t"),
+    )
+    toks = F.col("_t")
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0)))
     sh = F.array_distinct(
         F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " "))
     )
-    return df.select(F.col(id_col), F.explode(sh).alias("shingle"))
+    return step.select(F.col(id_col), F.explode(sh).alias("shingle"))
 
 
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str,

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..plans.fanout import fan_out
+
 
 def _dot(a, b):
     return F.aggregate(
@@ -50,7 +52,7 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
     )
-    c = corpus.select(
+    c = fan_out(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
     )
@@ -293,7 +295,7 @@ def _ivf_search(spark, corpus_side: DataFrame, query_side: DataFrame,
         return F.array_min(scored_cells)["cell"]
 
     c = (
-        corpus_side
+        fan_out(corpus_side)
         .crossJoin(F.broadcast(cent_arr))
         .withColumn("cell", _argmin_cell(F.col("cvec")))
         .drop("cents", *([] if score_col == "cvec" else ["cvec"]))
@@ -412,8 +414,11 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     members are near-identical.  Pass None for the exhaustive join
     (e.g. the md5-replayable CORRECTNESS oracle, which pins n_bands=1 x
     4 bits so DuckDB can replay the signature)."""
-    c = banded_signatures(corpus, "neighbor_id", n_bands, bits_per_band,
-                          dim, id_col, vec_col)
+    # fan_out only the CORPUS side: the sign-bit computation is
+    # n_bands x bits x dim per-row codegen work (the query side is
+    # tiny and a repartition there is pure overhead)
+    c = banded_signatures(fan_out(corpus), "neighbor_id", n_bands,
+                          bits_per_band, dim, id_col, vec_col)
     if max_bucket is not None:
         wb = Window.partitionBy("band", "sig").orderBy(F.asc("neighbor_id"))
         c = (
@@ -498,7 +503,7 @@ def quantized_brute_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     int8 codes — the accuracy/throughput tradeoff a production ANN
     serves from.  Used by the recall test; returns
     (query_id, neighbor_id, rank, score)."""
-    qc = quantize_embeddings(corpus, id_col, vec_col)
+    qc = quantize_embeddings(fan_out(corpus), id_col, vec_col)
     c = qc.select(
         F.col(id_col).alias("neighbor_id"),
         dequantize(F.col("qvec"), F.col("scale")).alias("cvec"),

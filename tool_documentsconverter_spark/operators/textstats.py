@@ -247,9 +247,16 @@ def repetition_signals(df, id_col: str = "doc_id",
     plan (the n-gram build reuses the slice+array_join idiom, 2.8x
     faster than per-element getItem — see dedup.shingles).
     Boilerplate/template spam scores high on both signals long before
-    exact dedup would catch it."""
+    exact dedup would catch it.
+
+    The token array is materialized in its own projection (still zero
+    exchanges): the ngram lambda would otherwise re-tokenize the
+    document once per gram — higher-order lambdas re-evaluate body
+    expressions per element, see dedup.shingles."""
     t = F.lower(F.trim(F.coalesce(F.col(text_col), F.lit(""))))
-    toks = F.split(t, TOKEN_SPLIT_RE)
+    step = df.select("*", F.split(t, TOKEN_SPLIT_RE).alias("_rs_toks"))
+    df = step
+    toks = F.col("_rs_toks")
 
     def ngrams(n):
         idx = F.sequence(F.lit(0),
@@ -418,15 +425,34 @@ def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
     on a 32-byte key, to which the LSH mega-bucket guard pattern
     applies unchanged.  md5 keeps the DuckDB oracle byte-identical;
     swap for xxhash64 at deploy time."""
-    toks = F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))),
-                   TOKEN_SPLIT_RE)
+    # Both intermediate arrays are MATERIALIZED in their own
+    # projections: higher-order lambdas re-evaluate expressions
+    # referenced in the body once PER ELEMENT (no loop-invariant
+    # hoisting), so inlining `toks` into the gram hash or `hashes`
+    # into the window-min would re-tokenize / re-hash the whole
+    # document per gram / per window — O(n^2) blowup, measured 19x
+    # slower at sf0.1.  Each step's output is referenced >= 2 times
+    # by its consumer, which trips CollapseProject's non-cheap
+    # duplication guard and keeps the per-row column real.
+    t1 = df.select(
+        F.col(id_col),
+        F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))),
+                TOKEN_SPLIT_RE).alias("_t"),
+    )
+    toks = F.col("_t")
     g_idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0)))
-    hashes = F.transform(
-        g_idx, lambda i: F.md5(F.array_join(F.slice(toks, i + 1, k), " ")))
+    t2 = t1.select(
+        F.col(id_col),
+        F.transform(
+            g_idx,
+            lambda i: F.md5(F.array_join(F.slice(toks, i + 1, k), " ")),
+        ).alias("_h"),
+    )
+    hashes = F.col("_h")
     n_win = F.greatest(F.size(hashes) - w + 1, F.lit(1))
     w_idx = F.sequence(F.lit(0), n_win - 1)
     sels = F.transform(w_idx, lambda i: F.array_min(F.slice(hashes, i + 1, w)))
-    return df.select(
+    return t2.select(
         F.col(id_col),
         F.explode(F.array_distinct(sels)).alias("fingerprint"),
     )
@@ -458,13 +484,22 @@ def lm_perplexity(df: DataFrame, id_col: str = "doc_id",
     cardinality; the add-one smoothing already gives unseen mass."""
     from pyspark.sql import Window
 
-    words = F.regexp_extract_all(
+    from ..plans.fanout import fan_out
+
+    words_expr = F.regexp_extract_all(
         F.lower(F.coalesce(F.col(text_col), F.lit(""))),
         F.lit("[a-z0-9]+"), 0)
+    # word array materialized in its own projection: the bigram
+    # lambda's element_at(words, ...) would otherwise re-run the
+    # regexp tokenizer once per bigram (higher-order lambdas hoist
+    # nothing) — measured 14.8x slower at sf0.1.  fan_out splits the
+    # single-file local scan (no-op at scale — plans/fanout.py).
+    step = fan_out(df).select(F.col(id_col), words_expr.alias("_ws"))
+    words = F.col("_ws")
     b_idx = F.when(
         F.size(words) >= 2, F.sequence(F.lit(0), F.size(words) - 2)
     ).otherwise(F.array().cast("array<int>"))
-    bg = df.select(
+    bg = step.select(
         F.col(id_col),
         F.explode(
             F.transform(
@@ -478,7 +513,7 @@ def lm_perplexity(df: DataFrame, id_col: str = "doc_id",
     ).select(id_col, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
 
     vocab = (
-        df.select(F.explode(words).alias("word"))
+        fan_out(df).select(F.explode(words_expr).alias("word"))
         .agg(F.countDistinct("word").alias("v"))
     )
     c2 = F.count(F.lit(1)).over(Window.partitionBy("w1", "w2"))
