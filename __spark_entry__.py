@@ -2730,6 +2730,220 @@ ORDER BY score DESC, doc_id LIMIT 10
 """
 
 
+def _synth_multiline(spark, sf_dir, punct: bool) -> DataFrame:
+    """documents.text carries no newlines (single-line word salad), so
+    the line-level queries rebuild each document as a deterministic
+    multi-line page, replayed verbatim by the DuckDB oracles (the
+    domain_stats precedent): 6-word chunk lines, a 'section {id%7}'
+    header shared by ~1/7 of the corpus, a footer shared by every
+    document, a second footer on even ids, and (punct=True) C4-style
+    terminal punctuation on chunk i where (doc_id+i)%3 != 0 plus
+    javascript / lorem-ipsum / curly-brace marker lines on ids
+    divisible by 13 / 25 / 17.
+
+    The token array is materialized in its own projection and
+    referenced twice downstream (size + the chunk lambda) so Catalyst
+    does not re-split the document once per chunk."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    step = docs.select(
+        "doc_id",
+        F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))),
+                r"\s+").alias("_t"),
+    )
+    toks = F.col("_t")
+    nl = F.greatest(F.lit(1), F.ceil(F.size(toks) / F.lit(6)).cast("int"))
+    did = F.col("doc_id")
+    empty = F.array().cast("array<string>")
+    if punct:
+        chunk = F.transform(
+            F.sequence(F.lit(0), nl - 1),
+            lambda i: F.concat(
+                F.array_join(F.slice(toks, i * 6 + 1, 6), " "),
+                F.when((did + i) % 3 != 0, F.lit(".")).otherwise(F.lit("")),
+            ),
+        )
+        extras = F.concat(
+            F.when(did % 13 == 0, F.array(
+                F.lit("please enable javascript to view this page."))
+                ).otherwise(empty),
+            F.when(did % 25 == 0, F.array(
+                F.lit("lorem ipsum dolor sit amet."))).otherwise(empty),
+            F.when(did % 17 == 0, F.array(
+                F.lit("var config = { enabled: true };"))).otherwise(empty),
+        )
+    else:
+        chunk = F.transform(
+            F.sequence(F.lit(0), nl - 1),
+            lambda i: F.array_join(F.slice(toks, i * 6 + 1, 6), " "),
+        )
+        extras = empty
+    lines = F.concat(
+        F.array(F.concat(F.lit("section "), (did % 7).cast("string"))),
+        chunk,
+        extras,
+        F.array(F.lit("subscribe to our newsletter")),
+        F.when(did % 2 == 0, F.array(F.lit("follow us on social media"))
+               ).otherwise(empty),
+    )
+    return step.select("doc_id", F.concat_ws("\n", lines).alias("text"))
+
+
+# shared synthetic-page CTE for the line-level oracles; {chunk} and
+# {extras} vary between the plain and the punctuated construction
+_SQL_SYNTH_LINES = """
+WITH base AS (
+  SELECT doc_id,
+         string_split_regex(trim(coalesce(text, '')), '\\s+') AS t
+  FROM documents
+), n AS (
+  SELECT doc_id, t,
+         greatest(1, CAST(ceil(len(t) / 6.0) AS INTEGER)) AS nl
+  FROM base
+), lines AS (
+  SELECT doc_id,
+         ['section ' || CAST(doc_id % 7 AS VARCHAR)]
+         || list_transform(range(0, nl), i -> {chunk})
+         {extras}|| ['subscribe to our newsletter']
+         || CASE WHEN doc_id % 2 = 0 THEN ['follow us on social media']
+                 ELSE CAST([] AS VARCHAR[]) END
+           AS ls
+  FROM n
+)"""
+
+_SQL_CHUNK_PLAIN = "array_to_string(list_slice(t, i * 6 + 1, i * 6 + 6), ' ')"
+_SQL_CHUNK_PUNCT = (
+    _SQL_CHUNK_PLAIN
+    + " || CASE WHEN (doc_id + i) % 3 <> 0 THEN '.' ELSE '' END"
+)
+_SQL_EXTRAS_PUNCT = """|| CASE WHEN doc_id % 13 = 0
+                 THEN ['please enable javascript to view this page.']
+                 ELSE CAST([] AS VARCHAR[]) END
+         || CASE WHEN doc_id % 25 = 0
+                 THEN ['lorem ipsum dolor sit amet.']
+                 ELSE CAST([] AS VARCHAR[]) END
+         || CASE WHEN doc_id % 17 = 0
+                 THEN ['var config = { enabled: true };']
+                 ELSE CAST([] AS VARCHAR[]) END
+         """
+
+
+def _q_line_dedup(spark, sf_dir):
+    """Corpus-level line deduplication (CCNet / RefinedWeb boilerplate
+    removal, operators/dedup.py line_dedup) over the synthesized
+    multi-line corpus: any line whose normalized form appears in >= 2
+    distinct documents (the shared section headers and footers, plus
+    any naturally colliding chunk) is dropped from every document and
+    the survivors are reassembled in order.  One md5(line) window
+    exchange + one per-doc rollup — no joins, no pairs."""
+    return D.line_dedup(
+        _synth_multiline(spark, sf_dir, punct=False),
+        "doc_id", "text", min_docs=2,
+    ).orderBy("doc_id")
+
+
+_SQL_LINE_DEDUP = _SQL_SYNTH_LINES.format(
+    chunk=_SQL_CHUNK_PLAIN, extras="") + """
+, lrows AS (
+  SELECT doc_id, CAST(k AS INTEGER) AS pos,
+         ls[CAST(k + 1 AS INTEGER)] AS line
+  FROM lines, LATERAL unnest(range(0, len(ls))) AS u(k)
+), ranked AS (
+  SELECT doc_id, pos, line, md5(lower(trim(line))) AS h,
+         dense_rank() OVER (PARTITION BY md5(lower(trim(line)))
+                            ORDER BY doc_id) AS dr
+  FROM lrows
+), tagged AS (
+  SELECT doc_id, pos, line,
+         trim(line) <> '' AND max(dr) OVER (PARTITION BY h) >= 2 AS dropl
+  FROM ranked
+)
+SELECT doc_id,
+       coalesce(
+         array_to_string(
+           list_transform(
+             list_sort(list({'pos': pos, 'line': line})
+                       FILTER (WHERE NOT dropl)),
+             s -> struct_extract(s, 'line')),
+           chr(10)), '') AS clean_text,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN dropl THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       round(CAST(sum(CASE WHEN dropl THEN 1 ELSE 0 END) AS BIGINT)
+             / count(*), 6) AS dropped_frac
+FROM tagged GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def _q_c4_filters(spark, sf_dir):
+    """C4 cleaning rules (Raffel et al. 2020 §2.2,
+    operators/textstats.py c4_quality_filters) over the punctuated
+    synthetic corpus: terminal-punctuation + >=5-word + no-javascript
+    line filter, sentence floor, lorem-ipsum and curly-brace page
+    flags.  Zero shuffles — every signal is a codegen'd higher-order
+    function over the per-row line array."""
+    return TS.c4_quality_filters(
+        _synth_multiline(spark, sf_dir, punct=True), "doc_id", "text"
+    ).orderBy("doc_id")
+
+
+_SQL_C4_FILTERS = _SQL_SYNTH_LINES.format(
+    chunk=_SQL_CHUNK_PUNCT, extras=_SQL_EXTRAS_PUNCT) + r"""
+, flt AS (
+  SELECT doc_id, ls,
+         list_filter(ls, x -> regexp_matches(trim(x), '[.!?"]$')
+                        AND len(string_split_regex(trim(x), '\s+')) >= 5
+                        AND NOT contains(lower(x), 'javascript')) AS kept
+  FROM lines
+), agg AS (
+  SELECT doc_id,
+         array_to_string(ls, chr(10)) AS full_text,
+         array_to_string(kept, chr(10)) AS clean_text,
+         CAST(len(ls) AS INTEGER) AS n_lines,
+         CAST(len(kept) AS INTEGER) AS n_kept_lines
+  FROM flt
+)
+SELECT doc_id, clean_text, n_lines, n_kept_lines,
+       CAST(len(string_split_regex(clean_text, '[.!?]')) - 1 AS INTEGER)
+         AS n_sentences,
+       contains(lower(full_text), 'lorem ipsum') AS has_lorem,
+       contains(full_text, '{') AS has_brace,
+       (CAST(len(string_split_regex(clean_text, '[.!?]')) - 1 AS INTEGER) >= 3
+        AND NOT contains(lower(full_text), 'lorem ipsum')
+        AND NOT contains(full_text, '{')) AS keep
+FROM agg ORDER BY doc_id
+"""
+
+
+def _q_fuzzy_dedup_keep(spark, sf_dir):
+    """End-to-end fuzzy dedup (operators/dedup.py dedup_survivors):
+    MinHash banding -> LSH candidate pairs -> connected components ->
+    keeper = min id per component, joined back onto the corpus
+    (cluster table broadcast — the corpus side is never shuffled).
+    Filtering kept=true yields the deduplicated corpus; this is the
+    composite a production pipeline actually runs."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 64)
+    pairs = D.minhash_lsh_pairs(docs, "doc_id", "text", n_bands=4)
+    clusters = D.cluster_duplicates(pairs)
+    return D.dedup_survivors(docs, clusters, "doc_id").orderBy("doc_id")
+
+
+# same pair generation + reachability CTE as _SQL_DUP_CLUSTERS, but the
+# component table is joined back onto the full (filtered) corpus with
+# keeper selection instead of being returned on its own
+_SQL_FUZZY_KEEP = _SQL_DUP_CLUSTERS.replace(
+    """SELECT c.id AS doc_id, c.cluster_id, s.cluster_size
+FROM comp c JOIN sizes s USING (cluster_id)
+ORDER BY doc_id""",
+    """SELECT d.doc_id,
+       coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+       CAST(coalesce(s.cluster_size, 1) AS BIGINT) AS cluster_size,
+       (coalesce(c.cluster_id, d.doc_id) = d.doc_id) AS kept
+FROM (SELECT doc_id FROM documents WHERE doc_id < 64) d
+LEFT JOIN comp c ON c.id = d.doc_id
+LEFT JOIN sizes s ON s.cluster_id = c.cluster_id
+ORDER BY d.doc_id""")
+assert _SQL_FUZZY_KEEP != _SQL_DUP_CLUSTERS  # replace anchor must hold
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver grades exactly the FIRST 50 entries
     # (CORRECTNESS r3/r4/r5 each contain exactly 50 rows).  The local
@@ -2752,6 +2966,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": _q_lm_perplexity,
         "tfidf_terms": _q_tfidf_terms,
         "bm25_topk": _q_bm25_topk,
+        "line_dedup": _q_line_dedup,
+        "c4_filters": _q_c4_filters,
+        "fuzzy_dedup_keep": _q_fuzzy_dedup_keep,
         # parked in round 5 (driver-green r1-r4), back in the window:
         "text_wrap_md": _q_text_wrap,
         "sanitize_stem": _q_sanitize,
@@ -2792,12 +3009,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_langid,
         "corpus_curation": _q_corpus_curation,
         "text_chunks": _q_text_chunks,
+        # outside the 50-entry driver window this round — every one of
+        # these has a hash-green driver row in >= 2 of rounds 1-5 and
+        # stays covered by the local parity harness:
         "stratified_sample": _q_stratified_sample,
         "seq_packing": _q_seq_packing,
         "ann_brute_topk": _q_ann_brute,
-        # outside the 50-entry driver window this round — every one of
-        # these has a hash-green driver row in >= 4 of rounds 1-5 and
-        # stays covered by the local parity harness:
         "xlsx_sheet_csv": _q_xlsx_sheet_csv,
         "extract_dispatch": _q_extract_dispatch,
         "extract_binary_dispatch": _q_extract_binary,
@@ -2853,6 +3070,9 @@ def oracle_sql() -> dict[str, str]:
         "domain_stats": _SQL_DOMAIN_STATS,
         "embedding_quantize": _SQL_EMBEDDING_QUANTIZE,
         "dup_ngram_stats": _SQL_DUP_NGRAM_STATS,
+        "line_dedup": _SQL_LINE_DEDUP,
+        "c4_filters": _SQL_C4_FILTERS,
+        "fuzzy_dedup_keep": _SQL_FUZZY_KEEP,
         "winnow_fingerprints": _SQL_WINNOW,
         "lm_perplexity": _SQL_LM_PERPLEXITY,
         "tfidf_terms": _SQL_TFIDF,

@@ -454,3 +454,99 @@ def dup_ngram_stats(df: DataFrame, id_col: str = "doc_id",
             F.round(F.col("dup_grams") / F.col("n_grams"), 6),
         )
     )
+
+
+def line_dedup(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text", min_docs: int = 2) -> DataFrame:
+    """Corpus-level line deduplication (the CCNet / RefinedWeb
+    curation step): a line whose normalized form appears in at least
+    `min_docs` DISTINCT documents is boilerplate (nav bars, cookie
+    banners, signatures) and is dropped from EVERY document; the
+    remaining lines are reassembled in their original order.  The
+    reference converter works one document at a time and cannot
+    express this — it is a corpus-scale training-data addition.
+
+    Output per document: (id, clean_text, n_lines, n_dropped,
+    dropped_frac).
+
+    Scale shape: lines explode once; the distinct-document count per
+    line comes from dense_rank over the line-hash partition (max of
+    dense_rank == count of distinct ids — Spark has no
+    countDistinct-over-window) so the ONLY corpus-wide exchange
+    partitions by the 32-char md5 of the normalized line, never by
+    the raw line text.  Both window functions share that one
+    exchange.  The per-document reassembly that follows is a single
+    groupBy on the id — collect_list of (pos, line) structs is
+    bounded by document size, the same bound any per-document
+    operator already carries.  No joins, no pair generation: a line
+    shared by 10M documents costs 10M counted rows, so mega-clusters
+    are free, which is exactly why production pipelines run line
+    dedup BEFORE fuzzy dedup."""
+    from pyspark.sql import Window
+
+    lines = fan_out(df).select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("pos", "line"),
+    )
+    tagged = lines.withColumn("_h", F.md5(_norm(F.col("line"))))
+    w_rank = Window.partitionBy("_h").orderBy(id_col)
+    w_all = Window.partitionBy("_h")
+    tagged = tagged.withColumn(
+        "_docs", F.max(F.dense_rank().over(w_rank)).over(w_all)
+    )
+    drop = (F.trim(F.col("line")) != "") & (F.col("_docs") >= min_docs)
+    kept = F.when(~drop, F.struct(F.col("pos"), F.col("line")))
+    return (
+        tagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(drop.cast("long")).alias("n_dropped"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept)), lambda s: s["line"]
+                ),
+                "\n",
+            ).alias("clean_text"),
+        )
+        .select(
+            F.col(id_col),
+            "clean_text",
+            "n_lines",
+            "n_dropped",
+            F.round(F.col("n_dropped") / F.col("n_lines"), 6).alias(
+                "dropped_frac"
+            ),
+        )
+    )
+
+
+def dedup_survivors(df: DataFrame, clusters: DataFrame,
+                    id_col: str = "doc_id") -> DataFrame:
+    """Keeper selection — the step that turns `cluster_duplicates`
+    GROUPS into a deduplicated corpus: every document gets its
+    cluster id (itself when unclustered), the cluster size, and
+    kept = (id == cluster keeper, i.e. the min id in the component).
+    Filtering on `kept` yields the surviving corpus.
+
+    Scale shape: `clusters` only contains documents that appeared in
+    a candidate pair — a small fraction of the corpus — so the join
+    back onto the full corpus broadcasts the cluster table; the
+    corpus side is never shuffled."""
+    from pyspark.sql.functions import broadcast
+
+    return (
+        df.select(F.col(id_col))
+        .join(broadcast(clusters), on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+            F.coalesce(F.col("cluster_size"), F.lit(1)).cast("long").alias(
+                "cluster_size"
+            ),
+            (F.coalesce("cluster_id", F.col(id_col)) == F.col(id_col)).alias(
+                "kept"
+            ),
+        )
+    )

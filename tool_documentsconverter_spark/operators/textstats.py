@@ -532,3 +532,75 @@ def lm_perplexity(df: DataFrame, id_col: str = "doc_id",
             F.round(F.exp(F.avg("_nll")), 4).alias("ppl"),
         )
     )
+
+
+def c4_quality_filters(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       min_words_per_line: int = 5,
+                       min_sentences: int = 3) -> DataFrame:
+    """The C4 cleaning rule set (Raffel et al. 2020, §2.2),
+    re-expressed as codegen'd column predicates — per document:
+
+      clean_text   — only the lines that end in a terminal
+                     punctuation mark ('.', '!', '?', '"'), contain at
+                     least `min_words_per_line` whitespace words, and
+                     do not mention 'javascript' (case-insensitive);
+      n_lines / n_kept_lines — before/after the line filter;
+      n_sentences  — terminal-punctuation count in clean_text;
+      has_lorem    — 'lorem ipsum' placeholder text anywhere;
+      has_brace    — a '{' anywhere (C4's code-page signal);
+      keep         — n_sentences >= `min_sentences` and neither flag.
+
+    (C4's bad-words list is a policy input, not an algorithm — plug
+    it in as one more `~lower(_raw).contains(...)` conjunct.)
+
+    Scale shape: zero shuffles — every signal is a higher-order
+    function over the per-row line array, entirely inside
+    whole-stage codegen.  The line array and the filtered kept-array
+    are each MATERIALIZED in their own projection and referenced
+    twice downstream (the [[spark-lambda-hoisting]] rule: Catalyst
+    lambdas re-evaluate body expressions per element, and a single
+    downstream reference lets CollapseProject inline the array right
+    back), so the document is split once and filtered once per row."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    step = df.select(
+        F.col(id_col), t.alias("_raw"), F.split(t, "\n").alias("_lines")
+    )
+    lines = F.col("_lines")
+
+    def keep_line(x):
+        return (
+            F.trim(x).rlike('[.!?"]$')
+            & (F.size(F.split(F.trim(x), TOKEN_SPLIT_RE))
+               >= min_words_per_line)
+            & ~F.lower(x).contains("javascript")
+        )
+
+    step = step.select(
+        F.col(id_col),
+        F.col("_raw"),
+        F.size(lines).alias("n_lines"),
+        F.filter(lines, keep_line).alias("_kept"),
+    )
+    kept = F.col("_kept")
+    step = step.select(
+        F.col(id_col),
+        F.col("_raw"),
+        "n_lines",
+        F.size(kept).alias("n_kept_lines"),
+        F.array_join(kept, "\n").alias("clean_text"),
+    )
+    n_sent = F.size(F.split(F.col("clean_text"), r"[.!?]")) - 1
+    has_lorem = F.lower(F.col("_raw")).contains("lorem ipsum")
+    has_brace = F.col("_raw").contains("{")
+    return step.select(
+        F.col(id_col),
+        "clean_text",
+        "n_lines",
+        "n_kept_lines",
+        n_sent.alias("n_sentences"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        ((n_sent >= F.lit(min_sentences)) & ~has_lorem & ~has_brace)
+        .alias("keep"),
+    )
