@@ -2944,6 +2944,91 @@ ORDER BY d.doc_id""")
 assert _SQL_FUZZY_KEEP != _SQL_DUP_CLUSTERS  # replace anchor must hold
 
 
+def _q_warc_extract(spark, sf_dir):
+    """CommonCrawl-style WARC ingestion (sources/warc.py read_warc):
+    40 synthetic WARC files — warcinfo + 3-5 HTTP response records
+    each, half of them per-record-gzip .warc.gz members, some with a
+    junk tail that must isolate as ONE failed record — exploded into
+    typed record rows in a single Arrow stage.  A pass proves the
+    pure-stdlib ISO-28500 parser (record headers, Content-Length
+    block framing, HTTP envelope, gzip member walk) reads back
+    exactly what the builders encoded; the DuckDB oracle replays the
+    id->page construction and hashes the same HTTP bodies."""
+    from tool_documentsconverter_spark.sources.warc import (
+        make_warc_bytes,
+        read_warc,
+    )
+
+    rows = []
+    for fid in range(40):
+        k = 3 + fid % 3
+        pages = []
+        for r in range(1, k + 1):
+            if r % 5 == 4:
+                code, body = 404, b"<html><body><h1>404</h1></body></html>"
+            else:
+                code, body = 200, (
+                    f"<html><body><h1>Page {fid}-{r}</h1>"
+                    f"<p>alpha beta gamma {fid * 31 + r}</p></body></html>"
+                ).encode("ascii")
+            pages.append((f"http://site{fid}.example/page{r}", code, body))
+        data = make_warc_bytes(pages, compress=(fid % 2 == 0))
+        if fid % 7 == 3:
+            data += b"GARBAGE-not-a-warc-record"
+        rows.append((fid, data))
+    df = spark.createDataFrame(rows, "file_id long, payload binary")
+    return (
+        read_warc(df)
+        .select(
+            "file_id", "rec_idx", "warc_type", "url", "http_status",
+            "mime",
+            F.length("body").cast("long").alias("body_len"),
+            F.md5("body").alias("body_md5"),
+            "status",
+        )
+        .orderBy("file_id", "rec_idx")
+    )
+
+
+_SQL_WARC_EXTRACT = """
+WITH f AS (
+  SELECT CAST(fid AS BIGINT) AS fid, 3 + fid % 3 AS k
+  FROM range(0, 40) t(fid)
+), recs AS (
+  SELECT fid, k, 0 AS r FROM f
+  UNION ALL
+  SELECT fid, k, CAST(u.r AS INTEGER) AS r
+  FROM f, LATERAL unnest(range(1, k + 1)) AS u(r)
+  UNION ALL
+  SELECT fid, k, CAST(k + 1 AS INTEGER) AS r FROM f WHERE fid % 7 = 3
+), body AS (
+  SELECT fid, k, r,
+         CASE WHEN r = 0 THEN 'software: spark-graft' || chr(13) || chr(10)
+              WHEN r = k + 1 THEN ''
+              WHEN r % 5 = 4 THEN '<html><body><h1>404</h1></body></html>'
+              ELSE '<html><body><h1>Page ' || fid || '-' || r ||
+                   '</h1><p>alpha beta gamma ' || (fid * 31 + r) ||
+                   '</p></body></html>' END AS b
+  FROM recs
+)
+SELECT fid AS file_id,
+       CAST(r AS INTEGER) AS rec_idx,
+       CASE WHEN r = 0 THEN 'warcinfo'
+            WHEN r = k + 1 THEN 'invalid'
+            ELSE 'response' END AS warc_type,
+       CASE WHEN r = 0 OR r = k + 1 THEN NULL
+            ELSE 'http://site' || fid || '.example/page' || r END AS url,
+       CASE WHEN r = 0 OR r = k + 1 THEN NULL
+            WHEN r % 5 = 4 THEN 404 ELSE 200 END AS http_status,
+       CASE WHEN r = 0 OR r = k + 1 THEN NULL
+            ELSE 'text/html; charset=utf-8' END AS mime,
+       CAST(length(b) AS BIGINT) AS body_len,
+       md5(b) AS body_md5,
+       CASE WHEN r = k + 1 THEN 'failed' ELSE 'ok' END AS status
+FROM body ORDER BY file_id, rec_idx
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver grades exactly the FIRST 50 entries
     # (CORRECTNESS r3/r4/r5 each contain exactly 50 rows).  The local
@@ -2969,6 +3054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": _q_line_dedup,
         "c4_filters": _q_c4_filters,
         "fuzzy_dedup_keep": _q_fuzzy_dedup_keep,
+        "warc_extract": _q_warc_extract,
         # parked in round 5 (driver-green r1-r4), back in the window:
         "text_wrap_md": _q_text_wrap,
         "sanitize_stem": _q_sanitize,
@@ -3008,10 +3094,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cjk_textstats": _q_cjk_textstats,
         "lang_id": _q_langid,
         "corpus_curation": _q_corpus_curation,
-        "text_chunks": _q_text_chunks,
         # outside the 50-entry driver window this round — every one of
         # these has a hash-green driver row in >= 2 of rounds 1-5 and
         # stays covered by the local parity harness:
+        "text_chunks": _q_text_chunks,
         "stratified_sample": _q_stratified_sample,
         "seq_packing": _q_seq_packing,
         "ann_brute_topk": _q_ann_brute,
@@ -3073,6 +3159,7 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": _SQL_LINE_DEDUP,
         "c4_filters": _SQL_C4_FILTERS,
         "fuzzy_dedup_keep": _SQL_FUZZY_KEEP,
+        "warc_extract": _SQL_WARC_EXTRACT,
         "winnow_fingerprints": _SQL_WINNOW,
         "lm_perplexity": _SQL_LM_PERPLEXITY,
         "tfidf_terms": _SQL_TFIDF,

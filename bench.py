@@ -112,7 +112,7 @@ def main() -> None:
         "ann_ivf_quantized",
         "dup_ngram_stats", "winnow_fingerprints", "lm_perplexity",
         "tfidf_terms", "bm25_topk",
-        "line_dedup", "c4_filters", "fuzzy_dedup_keep",
+        "line_dedup", "c4_filters", "fuzzy_dedup_keep", "warc_extract",
     ]:
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, SF_DIR).count())
