@@ -3029,6 +3029,53 @@ FROM body ORDER BY file_id, rec_idx
 """
 
 
+def _q_bloom_contamination(spark, sf_dir):
+    """Bloom-filter decontamination (operators/dedup.py
+    bloom_contamination): every 50th document plays the held-out
+    benchmark whose 3-shingles set 3 md5 bits each in a 4096-bit
+    filter; corpus documents are charged for every shingle whose bits
+    are ALL set — false positives included, which is the bloom
+    contract the oracle replays via the all-bits-present join.  The
+    Spark side embeds the bounded bitset as a codegen string literal:
+    zero joins, one map-side-combinable rollup."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 50 != 0)
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    return (
+        D.bloom_contamination(corpus, bench, "doc_id", "text")
+        .orderBy("doc_id")
+    )
+
+
+_SQL_BLOOM_CONTAMINATION = _SQL_SHINGLES_CTE.format(
+    where="WHERE doc_id % 50 <> 0") + """
+, bt AS (
+  SELECT string_split_regex(lower(trim(coalesce(text, ''))), '\\s+') AS t
+  FROM documents WHERE doc_id % 50 = 0
+), bsh AS (
+  SELECT DISTINCT array_to_string(list_slice(t, i + 1, i + 3), ' ') AS shingle
+  FROM bt, LATERAL unnest(range(0, greatest(len(t) - 3, 0) + 1)) AS u(i)
+), bbits AS (
+  SELECT DISTINCT
+         CAST('0x' || substr(md5(j || '|' || shingle), 1, 8) AS BIGINT)
+           % 4096 AS bit
+  FROM bsh, LATERAL unnest([0, 1, 2]) AS h(j)
+), probe AS (
+  SELECT doc_id, shingle, j,
+         CAST('0x' || substr(md5(j || '|' || shingle), 1, 8) AS BIGINT)
+           % 4096 AS bit
+  FROM sh, LATERAL unnest([0, 1, 2]) AS h(j)
+), hits AS (
+  SELECT doc_id, shingle
+  FROM probe JOIN bbits USING (bit)
+  GROUP BY doc_id, shingle
+  HAVING count(*) = 3
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS flagged_shingles
+FROM hits GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver grades exactly the FIRST 50 entries
     # (CORRECTNESS r3/r4/r5 each contain exactly 50 rows).  The local
@@ -3055,6 +3102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_filters": _q_c4_filters,
         "fuzzy_dedup_keep": _q_fuzzy_dedup_keep,
         "warc_extract": _q_warc_extract,
+        "bloom_contamination": _q_bloom_contamination,
         # parked in round 5 (driver-green r1-r4), back in the window:
         "text_wrap_md": _q_text_wrap,
         "sanitize_stem": _q_sanitize,
@@ -3093,10 +3141,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_signals": _q_repetition_signals,
         "cjk_textstats": _q_cjk_textstats,
         "lang_id": _q_langid,
-        "corpus_curation": _q_corpus_curation,
         # outside the 50-entry driver window this round — every one of
         # these has a hash-green driver row in >= 2 of rounds 1-5 and
         # stays covered by the local parity harness:
+        "corpus_curation": _q_corpus_curation,
         "text_chunks": _q_text_chunks,
         "stratified_sample": _q_stratified_sample,
         "seq_packing": _q_seq_packing,
@@ -3160,6 +3208,7 @@ def oracle_sql() -> dict[str, str]:
         "c4_filters": _SQL_C4_FILTERS,
         "fuzzy_dedup_keep": _SQL_FUZZY_KEEP,
         "warc_extract": _SQL_WARC_EXTRACT,
+        "bloom_contamination": _SQL_BLOOM_CONTAMINATION,
         "winnow_fingerprints": _SQL_WINNOW,
         "lm_perplexity": _SQL_LM_PERPLEXITY,
         "tfidf_terms": _SQL_TFIDF,

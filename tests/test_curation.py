@@ -151,3 +151,58 @@ def test_line_dedup_single_corpus_exchange_per_stage(spark):
     assert plan.count("Exchange hashpartitioning") == 2
     for bad in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
         assert bad not in plan
+
+
+# -------------------------------------------------- bloom_contamination
+def test_bloom_flags_superset_of_exact_overlap(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta shared tail words"),
+            (2, "completely different text with no benchmark overlap"),
+            (3, "alpha beta gamma delta epsilon"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    exact = {r.doc_id: r.overlap_shingles
+             for r in D.contamination_check(corpus, bench,
+                                            "doc_id", "text").collect()}
+    bloom = {r.doc_id: r.flagged_shingles
+             for r in D.bloom_contamination(corpus, bench,
+                                            "doc_id", "text").collect()}
+    # every truly-contaminated doc is flagged with at least the exact
+    # count (bloom has no false NEGATIVES)
+    for doc, n in exact.items():
+        assert bloom.get(doc, 0) >= n
+    assert 1 in bloom and 3 in bloom
+
+
+def test_bloom_tiny_filter_yields_false_positives(spark):
+    corpus = spark.createDataFrame(
+        [(1, "nothing here matches the benchmark at all today")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, " ".join("w%d" % i for i in range(40)))],
+        "doc_id long, text string",
+    )
+    # 8 bits, 38 bench shingles x 2 hashes -> filter saturates -> every
+    # corpus shingle false-positives (the bloom contract, replayed by
+    # the oracle's all-bits-present join)
+    out = D.bloom_contamination(corpus, bench, "doc_id", "text",
+                                m_bits=8, n_hashes=2).collect()
+    assert out and out[0].flagged_shingles == 6  # all 6 shingles of doc 1
+
+
+def test_bloom_probe_is_join_free_single_shuffle(spark):
+    corpus = spark.createDataFrame(
+        [(1, "a b c d e")], "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(2, "a b c")], "doc_id long, text string")
+    out = D.bloom_contamination(corpus, bench, "doc_id", "text")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for bad in ("Join", "CartesianProduct"):
+        assert bad not in plan
+    assert plan.count("Exchange hashpartitioning") == 1

@@ -550,3 +550,63 @@ def dedup_survivors(df: DataFrame, clusters: DataFrame,
             ),
         )
     )
+
+
+def bloom_contamination(df: DataFrame, bench: DataFrame, id_col: str,
+                        text_col: str, k: int = 3, m_bits: int = 4096,
+                        n_hashes: int = 3) -> DataFrame:
+    """Bloom-filter benchmark decontamination — the fixed-memory
+    variant of `contamination_check`: benchmark shingles set
+    `n_hashes` md5-derived bits in an `m_bits` filter; a corpus
+    shingle is flagged when ALL its bits are set (so the count
+    includes the filter's deterministic false positives — that is the
+    bloom contract, and the DuckDB oracle replays it exactly via the
+    all-bits-present formulation).  Output (id, flagged_shingles) for
+    documents with >= 1 hit.
+
+    Scale shape: the bloom bitset is BOUNDED BY CONSTRUCTION at
+    `m_bits` (the entire point of the sketch) so it collapses to a
+    driver-side bitmask embedded as a string LITERAL in the probe
+    expression — the corpus side is one shingle explode + a pure
+    codegen substring test + one map-side-combinable groupBy on the
+    id.  Zero joins, zero broadcast table, one shuffle of per-doc
+    partials.  At 100 TB the benchmark side (thousands of docs) is
+    the tiny side regardless; a bigger filter is just a bigger
+    literal (8 KiB here; even 2^24 bits is a 2 MiB task constant,
+    the same order as any broadcast dim)."""
+    from functools import reduce
+    from operator import and_
+
+    def bitpos(j, shingle_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{j}|"), shingle_col)), 1, 8),
+                16, 10,
+            ).cast("long") % m_bits
+        )
+
+    bench_bits = (
+        shingles(bench, id_col, text_col, k)
+        .select("shingle").distinct()
+        .select(F.explode(F.array(
+            *[bitpos(j, F.col("shingle")) for j in range(n_hashes)]
+        )).alias("bit"))
+        .distinct()
+    )
+    present = [False] * m_bits
+    for row in bench_bits.collect():  # bounded: <= m_bits rows
+        present[row.bit] = True
+    mask = F.lit("".join("1" if b else "0" for b in present))
+
+    sh = shingles(df, id_col, text_col, k)
+    hit = reduce(and_, [
+        mask.substr((bitpos(j, F.col("shingle")) + 1).cast("int"),
+                    F.lit(1)) == "1"
+        for j in range(n_hashes)
+    ])
+    return (
+        sh.where(hit)
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("flagged_shingles"))
+    )
