@@ -108,3 +108,60 @@ def test_pack_sequences_shards_are_independent(spark):
     assert out[("a", 3)].tok_offset == 3   # continues shard a's stream
     assert out[("b", 2)].tok_offset == 0   # shard b restarts at zero
     assert out[("a", 3)].bin == 0
+
+
+# ------------------------------------------------------ mixture_resample
+def test_mixture_resample_uniform_caps_and_downsamples(spark):
+    from tool_documentsconverter_spark.operators.textprep import (
+        mixture_resample,
+    )
+
+    rows = [(i, "web") for i in range(80)] + [
+        (100 + i, "books") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = mixture_resample(df, "source", "doc_id", budget_frac=0.5)
+    got = {r.doc_id: r for r in out.collect()}
+    assert len(got) == 100
+    # uniform target = 0.5 * 100 / 2 = 25 docs per domain
+    web = [r for r in got.values() if r.domain == "web"]
+    books = [r for r in got.values() if r.domain == "books"]
+    assert all(abs(r.p_keep - 0.3125) < 1e-9 for r in web)  # 25/80
+    assert all(r.p_keep == 1.0 for r in books)  # capped: never up-sample
+    assert all(r.kept for r in books)
+    n_kept_web = sum(r.kept for r in web)
+    assert 10 <= n_kept_web <= 40  # hash threshold, ~25 expected
+    assert all(r.n_domain == 80 for r in web)
+
+
+def test_mixture_resample_explicit_weights_and_determinism(spark):
+    from tool_documentsconverter_spark.operators.textprep import (
+        mixture_resample,
+    )
+
+    rows = [(i, ("a", "b")[i % 2]) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = mixture_resample(df, "source", "doc_id", budget_frac=0.5,
+                           weights={"a": 1.0}).collect()
+    for r in out:
+        if r.domain == "b":  # zero weight -> nothing kept
+            assert r.p_keep == 0.0 and not r.kept
+        else:  # 0.5 * 40 * 1.0 / 20 = 1.0
+            assert r.p_keep == 1.0 and r.kept
+    # partitioning-independent: same decisions after a repartition
+    again = mixture_resample(df.repartition(7), "source", "doc_id",
+                             budget_frac=0.5, weights={"a": 1.0}).collect()
+    assert {(r.doc_id, r.kept) for r in again} == {
+        (r.doc_id, r.kept) for r in out}
+
+
+def test_mixture_resample_corpus_never_shuffled(spark):
+    from tool_documentsconverter_spark.operators.textprep import (
+        mixture_resample,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "doc_id long, source string")
+    plan = (mixture_resample(df)._jdf.queryExecution().executedPlan()
+            .toString())
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -131,3 +131,65 @@ def pack_sequences(df: DataFrame, budget_tokens: int = 1024,
         start.alias("tok_offset"),
         F.floor(start / F.lit(budget_tokens)).cast("bigint").alias("bin"),
     )
+
+
+def mixture_resample(df: DataFrame, domain_col: str = "source",
+                     id_col: str = "doc_id",
+                     budget_frac: float = 0.5,
+                     weights: dict[str, float] | None = None) -> DataFrame:
+    """Domain-mixture rebalancing (the data-mixing step of every
+    large-scale training pipeline, DoReMi/Pile-style): resample the
+    corpus to a target mixture over ``domain_col`` within a
+    ``budget_frac`` token/document budget.  With ``weights=None`` the
+    target is UNIFORM across observed domains — over-represented
+    domains are down-sampled to p_keep = (budget * N / n_domains) /
+    n_d, under-represented ones keep everything (p_keep caps at 1, so
+    the realized budget can land under ``budget_frac`` — resampling
+    never up-samples).  The keep decision is an md5 hash threshold on
+    row identity: deterministic, replayable, and independent of
+    partitioning — the same doc is kept on every run and every
+    cluster size.
+
+    Output per row: (id, domain, n_domain, p_keep, kept); filter
+    kept=true for the resampled corpus.
+
+    Scale shape: per-domain counts are ONE map-side-combinable
+    groupBy collapsed to a tiny stats table, corpus totals come from
+    a single-row aggregate cross-joined back (the bm25 corpus-stats
+    idiom), and the stats rejoin onto the corpus is broadcast — the
+    corpus itself is never shuffled; the probe is pure codegen.
+    Explicit ``weights`` follow the same plan with a literal map
+    lookup instead of the uniform 1/k."""
+    from pyspark.sql.functions import broadcast
+
+    stats = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("n_domain"))
+    totals = stats.agg(
+        F.sum("n_domain").alias("_n"), F.count(F.lit(1)).alias("_k"))
+    if weights is None:
+        target = (F.lit(float(budget_frac)) * F.col("_n")) / F.col("_k")
+    else:
+        wmap = F.create_map(
+            *[F.lit(x) for kv in weights.items() for x in kv])
+        target = (F.lit(float(budget_frac)) * F.col("_n")
+                  * F.coalesce(wmap[F.col(domain_col)], F.lit(0.0)))
+    pk = (
+        stats.crossJoin(broadcast(totals))
+        .select(
+            domain_col, "n_domain",
+            F.least(F.lit(1.0), target / F.col("n_domain")).alias("_p"),
+        )
+    )
+    hash_frac = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
+               16, 10).cast("double") / F.lit(4294967296.0)
+    )
+    return (
+        df.join(broadcast(pk), on=domain_col)
+        .select(
+            F.col(id_col),
+            F.col(domain_col).alias("domain"),
+            "n_domain",
+            F.round(F.col("_p"), 6).alias("p_keep"),
+            (hash_frac < F.col("_p")).alias("kept"),
+        )
+    )
