@@ -3057,12 +3057,12 @@ _SQL_BLOOM_CONTAMINATION = _SQL_SHINGLES_CTE.format(
   FROM bt, LATERAL unnest(range(0, greatest(len(t) - 3, 0) + 1)) AS u(i)
 ), bbits AS (
   SELECT DISTINCT
-         CAST('0x' || substr(md5(j || '|' || shingle), 1, 8) AS BIGINT)
+         CAST('0x' || substr(md5(shingle), 1 + 8 * j, 8) AS BIGINT)
            % 4096 AS bit
   FROM bsh, LATERAL unnest([0, 1, 2]) AS h(j)
 ), probe AS (
   SELECT doc_id, shingle, j,
-         CAST('0x' || substr(md5(j || '|' || shingle), 1, 8) AS BIGINT)
+         CAST('0x' || substr(md5(shingle), 1 + 8 * j, 8) AS BIGINT)
            % 4096 AS bit
   FROM sh, LATERAL unnest([0, 1, 2]) AS h(j)
 ), hits AS (
