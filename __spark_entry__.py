@@ -3115,6 +3115,134 @@ ORDER BY doc_id
 """
 
 
+def _q_url_dedup(spark, sf_dir):
+    """Crawl-level exact-URL dedup (operators/web.py extract_links +
+    canonical_url + url_dedup): each document carries two synthesized
+    anchors — a per-id URL in one of three equivalent spellings
+    (uppercase scheme/host + www + :80, trailing slash, #fragment)
+    and a hub URL shared by every page — exploded by the codegen href
+    regex, canonicalized, and grouped.  The oracle replays the
+    construction and the canonicalization regex chain; the href
+    extraction itself is pinned by pytest."""
+    import tool_documentsconverter_spark.operators.web as W
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 400)
+    i = F.col("doc_id")
+    k = (i % 20).cast("string")
+    p = (i % 50).cast("string")
+    u1 = (
+        F.when(i % 3 == 0, F.concat(
+            F.lit("HTTP://WWW.Site"), k, F.lit(".example:80/path"), p))
+        .when(i % 3 == 1, F.concat(
+            F.lit("http://site"), k, F.lit(".example/path"), p, F.lit("/")))
+        .otherwise(F.concat(
+            F.lit("http://site"), k, F.lit(".example/path"), p,
+            F.lit("#frag"), i.cast("string")))
+    )
+    html = F.concat(
+        F.lit('<p>see <a href="'), u1, F.lit('">here</a> and '),
+        F.lit("<a href='https://Hub.example:443/root/'>hub</a></p>"),
+    )
+    links = W.extract_links(docs.select("doc_id", html.alias("html")))
+    return (
+        W.url_dedup(links, "doc_id", "href")
+        .orderBy("canon_url")
+    )
+
+
+_SQL_URL_DEDUP = r"""
+WITH u AS (
+  SELECT doc_id,
+         CASE CAST(doc_id % 3 AS INTEGER)
+           WHEN 0 THEN 'HTTP://WWW.Site' || (doc_id % 20)
+                       || '.example:80/path' || (doc_id % 50)
+           WHEN 1 THEN 'http://site' || (doc_id % 20)
+                       || '.example/path' || (doc_id % 50) || '/'
+           ELSE 'http://site' || (doc_id % 20)
+                || '.example/path' || (doc_id % 50) || '#frag' || doc_id
+         END AS url
+  FROM documents WHERE doc_id < 400
+  UNION ALL
+  SELECT doc_id, 'https://Hub.example:443/root/' AS url
+  FROM documents WHERE doc_id < 400
+), c AS (
+  SELECT doc_id,
+         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+         || '://'
+         || regexp_replace(regexp_replace(lower(regexp_extract(
+              regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+              '^([^/?#]+)', 1)), '^www\.', ''), ':(80|443)$', '')
+         || regexp_replace(regexp_replace(regexp_replace(
+              regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+              '^[^/?#]+', ''), '#.*$', ''), '/+$', '')
+           AS canon_url
+  FROM u
+)
+SELECT canon_url,
+       CAST(min(doc_id) AS BIGINT) AS keeper_id,
+       CAST(count(*) AS BIGINT) AS dup_count
+FROM c GROUP BY canon_url ORDER BY canon_url
+"""
+
+
+def _q_pagerank(spark, sf_dir):
+    """Fixed-point PageRank (operators/web.py pagerank_fixed) over a
+    200-node synthetic link graph (two formula out-edges per node
+    plus hub edges into node 0): 3 unrolled rounds of integer
+    micro-unit arithmetic, so the distributed sum is associative and
+    the ranks are bit-identical across partitionings, cluster sizes,
+    and the DuckDB oracle — no floating-point reduction-order drift
+    by construction."""
+    import tool_documentsconverter_spark.operators.web as W
+
+    ids = spark.range(0, 200).select(F.col("id").alias("i"))
+    e1 = ids.select(F.col("i").alias("src"),
+                    ((F.col("i") * 7 + 3) % 200).alias("dst"))
+    e2 = ids.select(F.col("i").alias("src"),
+                    ((F.col("i") * 13 + 5) % 200).alias("dst"))
+    e3 = ids.where(F.col("i") % 10 == 0).select(
+        F.col("i").alias("src"), F.lit(0).cast("long").alias("dst"))
+    edges = e1.unionByName(e2).unionByName(e3)
+    return W.pagerank_fixed(edges, iters=3).orderBy("node")
+
+
+def _pagerank_round(prev: str) -> str:
+    return f"""
+  SELECT n.node,
+         750 + CAST(floor(85 * coalesce(s.insum, 0) / 100) AS BIGINT)
+           AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node,
+           sum(CAST(floor(r.rank / o.odeg) AS BIGINT)) AS insum
+    FROM edges e
+    JOIN {prev} r ON e.src = r.node
+    JOIN outdeg o ON e.src = o.src
+    GROUP BY e.dst) s ON n.node = s.node
+"""
+
+
+_SQL_PAGERANK = """
+WITH ids AS (SELECT CAST(i AS BIGINT) AS i FROM range(0, 200) t(i)),
+edges AS (
+  SELECT i AS src, (i * 7 + 3) % 200 AS dst FROM ids
+  UNION ALL SELECT i, (i * 13 + 5) % 200 FROM ids
+  UNION ALL SELECT i, 0 FROM ids WHERE i % 10 = 0
+),
+nodes AS (
+  SELECT DISTINCT src AS node FROM edges
+  UNION SELECT DISTINCT dst FROM edges
+),
+outdeg AS (SELECT src, count(*) AS odeg FROM edges GROUP BY src),
+r0 AS (SELECT node, CAST(5000 AS BIGINT) AS rank FROM nodes),
+r1 AS ({r1}),
+r2 AS ({r2}),
+r3 AS ({r3})
+SELECT node, rank AS rank_micro FROM r3 ORDER BY node
+""".format(r1=_pagerank_round("r0"), r2=_pagerank_round("r1"),
+           r3=_pagerank_round("r2"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver grades exactly the FIRST 50 entries
     # (CORRECTNESS r3/r4/r5 each contain exactly 50 rows).  The local
@@ -3143,6 +3271,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_extract": _q_warc_extract,
         "bloom_contamination": _q_bloom_contamination,
         "mixture_resample": _q_mixture_resample,
+        "url_dedup": _q_url_dedup,
+        "pagerank": _q_pagerank,
         # parked in round 5 (driver-green r1-r4), back in the window:
         "text_wrap_md": _q_text_wrap,
         "sanitize_stem": _q_sanitize,
@@ -3178,11 +3308,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_normalize_scrub": _q_normalize_scrub,
         "mojibake_repair": _q_mojibake_repair,
         "gopher_quality": _q_gopher_quality,
-        "repetition_signals": _q_repetition_signals,
-        "cjk_textstats": _q_cjk_textstats,
         # outside the 50-entry driver window this round — every one of
         # these has a hash-green driver row in >= 2 of rounds 1-5 and
         # stays covered by the local parity harness:
+        "repetition_signals": _q_repetition_signals,
+        "cjk_textstats": _q_cjk_textstats,
         "lang_id": _q_langid,
         "corpus_curation": _q_corpus_curation,
         "text_chunks": _q_text_chunks,
@@ -3250,6 +3380,8 @@ def oracle_sql() -> dict[str, str]:
         "warc_extract": _SQL_WARC_EXTRACT,
         "bloom_contamination": _SQL_BLOOM_CONTAMINATION,
         "mixture_resample": _SQL_MIXTURE_RESAMPLE,
+        "url_dedup": _SQL_URL_DEDUP,
+        "pagerank": _SQL_PAGERANK,
         "winnow_fingerprints": _SQL_WINNOW,
         "lm_perplexity": _SQL_LM_PERPLEXITY,
         "tfidf_terms": _SQL_TFIDF,

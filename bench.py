@@ -113,7 +113,7 @@ def main() -> None:
         "dup_ngram_stats", "winnow_fingerprints", "lm_perplexity",
         "tfidf_terms", "bm25_topk",
         "line_dedup", "c4_filters", "fuzzy_dedup_keep", "warc_extract",
-        "bloom_contamination", "mixture_resample",
+        "bloom_contamination", "mixture_resample", "url_dedup", "pagerank",
     ]:
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, SF_DIR).count())
