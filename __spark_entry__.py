@@ -3166,18 +3166,25 @@ WITH u AS (
   UNION ALL
   SELECT doc_id, 'https://Hub.example:443/root/' AS url
   FROM documents WHERE doc_id < 400
-), c AS (
+), parts AS (
   SELECT doc_id,
          lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
-         || '://'
-         || regexp_replace(regexp_replace(lower(regexp_extract(
+           AS sch,
+         regexp_replace(lower(regexp_extract(
               regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
-              '^([^/?#]+)', 1)), '^www\.', ''), ':(80|443)$', '')
-         || regexp_replace(regexp_replace(regexp_replace(
+              '^([^/?#]+)', 1)), '^www\.', '') AS hst,
+         regexp_replace(regexp_replace(regexp_replace(
               regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
-              '^[^/?#]+', ''), '#.*$', ''), '/+$', '')
-           AS canon_url
+              '^[^/?#]+', ''), '#.*$', ''), '/+$', '') AS pq
   FROM u
+), c AS (
+  SELECT doc_id,
+         sch || '://'
+         || CASE WHEN sch = 'http' THEN regexp_replace(hst, ':80$', '')
+                 WHEN sch = 'https' THEN regexp_replace(hst, ':443$', '')
+                 ELSE hst END
+         || pq AS canon_url
+  FROM parts
 )
 SELECT canon_url,
        CAST(min(doc_id) AS BIGINT) AS keeper_id,
@@ -3210,11 +3217,11 @@ def _q_pagerank(spark, sf_dir):
 def _pagerank_round(prev: str) -> str:
     return f"""
   SELECT n.node,
-         750 + CAST(floor(85 * coalesce(s.insum, 0) / 100) AS BIGINT)
+         CAST(150000 + (85 * coalesce(s.insum, 0)) // 100 AS BIGINT)
            AS rank
   FROM nodes n LEFT JOIN (
     SELECT e.dst AS node,
-           sum(CAST(floor(r.rank / o.odeg) AS BIGINT)) AS insum
+           CAST(sum(r.rank // o.odeg) AS BIGINT) AS insum
     FROM edges e
     JOIN {prev} r ON e.src = r.node
     JOIN outdeg o ON e.src = o.src
@@ -3234,13 +3241,77 @@ nodes AS (
   UNION SELECT DISTINCT dst FROM edges
 ),
 outdeg AS (SELECT src, count(*) AS odeg FROM edges GROUP BY src),
-r0 AS (SELECT node, CAST(5000 AS BIGINT) AS rank FROM nodes),
+r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),
 r1 AS ({r1}),
 r2 AS ({r2}),
 r3 AS ({r3})
 SELECT node, rank AS rank_micro FROM r3 ORDER BY node
 """.format(r1=_pagerank_round("r0"), r2=_pagerank_round("r1"),
            r3=_pagerank_round("r2"))
+
+
+def _q_pagerank_dangling(spark, sf_dir):
+    """Fixed-point PageRank with DANGLING-MASS REDISTRIBUTION
+    (operators/web.py pagerank_fixed(redistribute_dangling=True)) over
+    a 200-node graph where every destination is odd and only even
+    nodes have out-edges — half the graph is sinks, the worst case the
+    classic drop-mass variant deflates.  Each round the sink mass is
+    summed (one scalar aggregate) and (85% of it) // n micro-units are
+    handed to every node; all arithmetic stays integer, so ranks are
+    bit-identical across partitionings and the DuckDB oracle, which
+    replays the per-round scalar as a subquery."""
+    import tool_documentsconverter_spark.operators.web as W
+
+    ids = spark.range(0, 200).select(F.col("id").alias("i")).where(
+        F.col("i") % 2 == 0)
+    e1 = ids.select(F.col("i").alias("src"),
+                    ((F.col("i") * 7 + 3) % 200).alias("dst"))
+    e2 = ids.select(F.col("i").alias("src"),
+                    ((F.col("i") * 13 + 5) % 200).alias("dst"))
+    edges = e1.unionByName(e2)
+    return (W.pagerank_fixed(edges, iters=3, redistribute_dangling=True)
+            .orderBy("node"))
+
+
+def _pagerank_dangling_round(prev: str) -> str:
+    return f"""
+  SELECT n.node,
+         CAST(150000
+           + (SELECT (85 * CAST(coalesce(sum(r.rank), 0) AS BIGINT))
+                 // (100 * (SELECT count(*) FROM nodes))
+              FROM {prev} r
+              WHERE r.node NOT IN (SELECT src FROM outdeg))
+           + (85 * coalesce(s.insum, 0)) // 100 AS BIGINT) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node,
+           CAST(sum(r.rank // o.odeg) AS BIGINT) AS insum
+    FROM edges e
+    JOIN {prev} r ON e.src = r.node
+    JOIN outdeg o ON e.src = o.src
+    GROUP BY e.dst) s ON n.node = s.node
+"""
+
+
+_SQL_PAGERANK_DANGLING = """
+WITH ids AS (SELECT CAST(i AS BIGINT) AS i FROM range(0, 200) t(i)
+             WHERE i % 2 = 0),
+edges AS (
+  SELECT i AS src, (i * 7 + 3) % 200 AS dst FROM ids
+  UNION ALL SELECT i, (i * 13 + 5) % 200 FROM ids
+),
+nodes AS (
+  SELECT DISTINCT src AS node FROM edges
+  UNION SELECT DISTINCT dst FROM edges
+),
+outdeg AS (SELECT src, count(*) AS odeg FROM edges GROUP BY src),
+r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+r1 AS ({r1}),
+r2 AS ({r2}),
+r3 AS ({r3})
+SELECT node, rank AS rank_micro FROM r3 ORDER BY node
+""".format(r1=_pagerank_dangling_round("r0"),
+           r2=_pagerank_dangling_round("r1"),
+           r3=_pagerank_dangling_round("r2"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -3273,6 +3344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_resample": _q_mixture_resample,
         "url_dedup": _q_url_dedup,
         "pagerank": _q_pagerank,
+        "pagerank_dangling": _q_pagerank_dangling,
         # parked in round 5 (driver-green r1-r4), back in the window:
         "text_wrap_md": _q_text_wrap,
         "sanitize_stem": _q_sanitize,
@@ -3382,6 +3454,7 @@ def oracle_sql() -> dict[str, str]:
         "mixture_resample": _SQL_MIXTURE_RESAMPLE,
         "url_dedup": _SQL_URL_DEDUP,
         "pagerank": _SQL_PAGERANK,
+        "pagerank_dangling": _SQL_PAGERANK_DANGLING,
         "winnow_fingerprints": _SQL_WINNOW,
         "lm_perplexity": _SQL_LM_PERPLEXITY,
         "tfidf_terms": _SQL_TFIDF,

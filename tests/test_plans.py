@@ -237,21 +237,38 @@ def test_winnow_fingerprints_is_shuffle_free(docs):
     assert "Exchange" not in plan
 
 
-def test_corpus_stat_operators_never_sort_merge_join(docs):
+def test_corpus_stat_operators_skew_safe_shapes(docs):
     """dup_ngram_stats / lm_perplexity / tfidf_topk_terms attach
-    corpus counts via window functions over the already-exploded rows
-    — there must be NO join of two corpus-sized sides (the df-table /
-    model-table join shape this family usually gets wrong); the only
-    join allowed is the broadcast of a one-row global aggregate."""
+    corpus counts skew-safely: the count table is a map-side
+    combinable aggregate rejoined to the rows (a shuffle join AQE's
+    skew handling can split — the round-6 window-over-occurrence-rows
+    shape put every occurrence of a hot key into ONE unbounded window
+    frame and cannot be split).  NO window function may partition by
+    an occurrence-level key; dup_ngram_stats' corpus exchanges must
+    carry the 32-byte md5 key, not raw gram text."""
+    import re
+
     from tool_documentsconverter_spark.operators import dedup as D
     from tool_documentsconverter_spark.operators import ranking as RK
     from tool_documentsconverter_spark.operators import textstats as TS
 
-    for q in (D.dup_ngram_stats(docs), TS.lm_perplexity(docs),
-              RK.tfidf_topk_terms(docs)):
-        plan = explain(q)
-        assert "SortMergeJoin" not in plan
-        assert "ShuffledHashJoin" not in plan
+    plan = explain(D.dup_ngram_stats(docs))
+    assert "Window" not in plan
+    keys = re.findall(r"hashpartitioning\(([^,)]+)", plan)
+    corpus_keys = {k for k in keys if not k.startswith("doc_id")}
+    assert corpus_keys and all(k.startswith("_hk") for k in corpus_keys)
+
+    plan = explain(TS.lm_perplexity(docs))
+    # the only Window runs over the AGGREGATED model table (its sum
+    # argument is the post-aggregation _c2 column), never over raw
+    # bigram occurrences
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert "_c2" in line
+
+    plan = explain(RK.tfidf_topk_terms(docs))
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
 
 
 def test_bm25_is_two_scans_and_a_topk(docs):

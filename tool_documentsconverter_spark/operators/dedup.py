@@ -428,21 +428,25 @@ def dup_ngram_stats(df: DataFrame, id_col: str = "doc_id",
     notion of this at all — it is a training-data-curation addition.
 
     Scale shape: the document side explodes DISTINCT n-grams once
-    (reusing `shingles`' slice+array_join idiom); per-gram document
-    counts come from a window COUNT over the gram partition — the
-    window's exchange partitions by exactly the gram key and is the
-    ONLY corpus-wide shuffle of raw grams; the per-document rollup
-    that follows is a map-side-combinable groupBy on the id.  No
-    joins, no pair generation: a gram shared by 10M documents costs
-    10M counted rows, never 10M^2 pairs, so the operator is immune to
-    the mega-cluster blowup that LSH needs `max_bucket` for.  At
-    deploy scale the gram strings in the exchange can be md5'd to
-    fixed 32-byte keys (one-line change, same algebra)."""
-    from pyspark.sql import Window
-
-    sh = shingles(df, id_col, text_col, k=n)
-    docs_with = F.count(F.lit(1)).over(Window.partitionBy("shingle"))
-    tagged = sh.withColumn("_docs_with", docs_with)
+    (reusing `shingles`' slice+array_join idiom), immediately replaced
+    by their md5 so every corpus-wide exchange carries FIXED 32-byte
+    keys, never raw gram text.  Per-gram document counts are a
+    TWO-LEVEL aggregate: a map-side-combinable groupBy builds the
+    per-gram count table (partial aggregation means a gram shared by
+    10M documents ships one partial per map task, not 10M rows to one
+    reducer), then the counts rejoin the gram rows on the hash key — a
+    shuffle join AQE's skew handling can SPLIT, unlike a window
+    partition, so no single task ever owns a boilerplate gram (the
+    round-6 window-COUNT formulation put every occurrence of a hot
+    gram into one unbounded window frame).  The per-document rollup
+    that follows is a map-side-combinable groupBy on the id.  No pair
+    generation anywhere: a gram shared by 10M documents costs 10M
+    counted rows, never 10M^2 pairs, so the operator is immune to the
+    mega-cluster blowup that LSH needs `max_bucket` for."""
+    sh = shingles(df, id_col, text_col, k=n).select(
+        F.col(id_col), F.md5("shingle").alias("_hk"))
+    counts = sh.groupBy("_hk").agg(F.count(F.lit(1)).alias("_docs_with"))
+    tagged = sh.join(counts, on="_hk")
     return (
         tagged.groupBy(id_col)
         .agg(
@@ -469,21 +473,23 @@ def line_dedup(df: DataFrame, id_col: str = "doc_id",
     Output per document: (id, clean_text, n_lines, n_dropped,
     dropped_frac).
 
-    Scale shape: lines explode once; the distinct-document count per
-    line comes from dense_rank over the line-hash partition (max of
-    dense_rank == count of distinct ids — Spark has no
-    countDistinct-over-window) so the ONLY corpus-wide exchange
-    partitions by the 32-char md5 of the normalized line, never by
-    the raw line text.  Both window functions share that one
-    exchange.  The per-document reassembly that follows is a single
+    Scale shape: lines explode once; corpus-wide exchanges carry the
+    32-char md5 of the normalized line, never raw line text.  The
+    distinct-document count per line is a TWO-LEVEL aggregate —
+    groupBy(line-hash).countDistinct(id) runs as partial aggregation
+    (the ubiquitous cookie-banner line ships one partial per map
+    task, not every occurrence to one reducer) — rejoined to the line
+    rows on the hash key, a shuffle join AQE's skew handling can
+    SPLIT; the round-6 max(dense_rank)-over-window formulation put
+    every occurrence of a boilerplate line into one single-task
+    unbounded window frame, exactly the skew this operator exists to
+    remove.  The per-document reassembly that follows is a single
     groupBy on the id — collect_list of (pos, line) structs is
     bounded by document size, the same bound any per-document
-    operator already carries.  No joins, no pair generation: a line
-    shared by 10M documents costs 10M counted rows, so mega-clusters
-    are free, which is exactly why production pipelines run line
-    dedup BEFORE fuzzy dedup."""
-    from pyspark.sql import Window
-
+    operator already carries.  No pair generation: a line shared by
+    10M documents costs 10M counted rows, so mega-clusters are free,
+    which is exactly why production pipelines run line dedup BEFORE
+    fuzzy dedup."""
     lines = fan_out(df).select(
         F.col(id_col),
         F.posexplode(
@@ -491,11 +497,9 @@ def line_dedup(df: DataFrame, id_col: str = "doc_id",
         ).alias("pos", "line"),
     )
     tagged = lines.withColumn("_h", F.md5(_norm(F.col("line"))))
-    w_rank = Window.partitionBy("_h").orderBy(id_col)
-    w_all = Window.partitionBy("_h")
-    tagged = tagged.withColumn(
-        "_docs", F.max(F.dense_rank().over(w_rank)).over(w_all)
-    )
+    counts = tagged.groupBy("_h").agg(
+        F.countDistinct(id_col).alias("_docs"))
+    tagged = tagged.join(counts, on="_h")
     drop = (F.trim(F.col("line")) != "") & (F.col("_docs") >= min_docs)
     kept = F.when(~drop, F.struct(F.col("pos"), F.col("line")))
     return (
@@ -531,14 +535,17 @@ def dedup_survivors(df: DataFrame, clusters: DataFrame,
     Filtering on `kept` yields the surviving corpus.
 
     Scale shape: `clusters` only contains documents that appeared in
-    a candidate pair — a small fraction of the corpus — so the join
-    back onto the full corpus broadcasts the cluster table; the
-    corpus side is never shuffled."""
-    from pyspark.sql.functions import broadcast
-
+    a candidate pair, but on real web corpora that is 20-40% OF THE
+    CORPUS — proportional, not small — so no broadcast hint is
+    forced: the join key is the document id (unique on both sides, no
+    skew), a plain shuffle join is correct at any duplicate rate, and
+    AQE still converts it to a broadcast join at runtime whenever the
+    cluster table actually measures under the threshold.  (Round 6
+    force-broadcast the cluster side; at 100 TB with a realistic
+    duplicate rate that OOMs every executor.)"""
     return (
         df.select(F.col(id_col))
-        .join(broadcast(clusters), on=id_col, how="left")
+        .join(clusters, on=id_col, how="left")
         .select(
             F.col(id_col),
             F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),

@@ -474,16 +474,23 @@ def lm_perplexity(df: DataFrame, id_col: str = "doc_id",
                   bigram prefix, V = corpus distinct-word count;
       ppl       — exp(avg_nll).
 
-    Scale shape: the only corpus-wide data movement is the bigram
-    explode followed by two window COUNTs (partition (w1, w2), then
-    (w1)) — counts attach to occurrence rows directly, so there is NO
-    model-table join and no driver-side model at all; the per-document
-    rollup is a map-side-combinable groupBy, and V is a one-row
-    aggregate broadcast by the cross join.  At deploy scale, prune
-    hapax prefixes to an <unk> bucket before the window to cap key
-    cardinality; the add-one smoothing already gives unseen mass."""
-    from pyspark.sql import Window
-
+    Scale shape: the model is a TWO-LEVEL aggregate — a map-side
+    combinable groupBy(w1, w2) builds the bigram count table (the
+    corpus-scale "of the" bigram ships one partial per map task, not
+    every occurrence to one reducer), prefix counts c(w1 .) roll up
+    AS A WINDOW SUM OVER THE AGGREGATED TABLE — its partition sizes
+    are the number of DISTINCT successors of w1, bounded by the
+    vocabulary, never by corpus occurrences — and the model table
+    (one row per DISTINCT bigram, carrying both counts) rejoins the
+    occurrence rows on (w1, w2), a shuffle join AQE's skew handling
+    can SPLIT.  The round-6 formulation ran both window COUNTs over
+    the raw occurrence rows, putting every occurrence of a
+    stopword-prefixed bigram into one single-task unbounded window
+    frame.  The per-document rollup is a map-side-combinable groupBy,
+    and V is a one-row aggregate broadcast by the cross join.  At
+    deploy scale, prune hapax prefixes to an <unk> bucket before the
+    groupBy to cap key cardinality; the add-one smoothing already
+    gives unseen mass."""
     from ..plans.fanout import fan_out
 
     words_expr = F.regexp_extract_all(
@@ -516,11 +523,13 @@ def lm_perplexity(df: DataFrame, id_col: str = "doc_id",
         fan_out(df).select(F.explode(words_expr).alias("word"))
         .agg(F.countDistinct("word").alias("v"))
     )
-    c2 = F.count(F.lit(1)).over(Window.partitionBy("w1", "w2"))
-    c1 = F.count(F.lit(1)).over(Window.partitionBy("w1"))
+    from pyspark.sql import Window
+
+    model = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_c2"))
+    model = model.withColumn(
+        "_c1", F.sum("_c2").over(Window.partitionBy("w1")))
     scored = (
-        bg.withColumn("_c2", c2)
-        .withColumn("_c1", c1)
+        bg.join(model, on=["w1", "w2"])
         .crossJoin(F.broadcast(vocab))
         .withColumn("_nll", -F.log((F.col("_c2") + 1) / (F.col("_c1") + F.col("v"))))
     )

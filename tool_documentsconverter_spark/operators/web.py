@@ -13,17 +13,23 @@ from pyspark.sql import functions as F
 
 def canonical_url(url) -> F.Column:
     """Canonical form of an http(s) URL, the pre-step of crawl-level
-    exact-URL dedup: scheme and host lowercased, leading ``www.`` and
-    explicit ``:80``/``:443`` ports stripped, the ``#fragment``
-    dropped, trailing slashes removed.  Pure codegen (regexp chain);
-    the DuckDB oracle replays the same patterns — every regex below
-    is deliberately Java-regex/RE2 common-dialect."""
+    exact-URL dedup: scheme and host lowercased, leading ``www.``
+    stripped, the scheme's OWN default port stripped (``:80`` only for
+    http, ``:443`` only for https — ``http://host:443`` is a distinct
+    resource and stays distinct), the ``#fragment`` dropped, trailing
+    slashes removed.  Pure codegen (regexp chain + CASE); the DuckDB
+    oracle replays the same patterns — every regex below is
+    deliberately Java-regex/RE2 common-dialect."""
     u = F.coalesce(url, F.lit(""))
     scheme = F.lower(F.regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     rest = F.regexp_replace(u, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
     host = F.lower(F.regexp_extract(rest, "^([^/?#]+)", 1))
     host = F.regexp_replace(host, "^www\\.", "")
-    host = F.regexp_replace(host, ":(80|443)$", "")
+    host = (
+        F.when(scheme == "http", F.regexp_replace(host, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(host, ":443$", ""))
+        .otherwise(host)
+    )
     pathq = F.regexp_replace(rest, "^[^/?#]+", "")
     pathq = F.regexp_replace(pathq, "#.*$", "")
     pathq = F.regexp_replace(pathq, "/+$", "")
@@ -52,8 +58,11 @@ def extract_links(df: DataFrame, id_col: str = "doc_id",
                   html_col: str = "html") -> DataFrame:
     """(id, href) per anchor in the HTML — one codegen
     regexp_extract_all + explode, the same shape as domain_stats.
-    Accepts single- or double-quoted href attributes."""
-    pat = "href=[\"']([^\"'#][^\"']*)[\"']"
+    Accepts single- or double-quoted href attributes, any case
+    (``HREF=``/``Href=`` are common in real crawl HTML — the ``(?i)``
+    prefix is accepted by both Java regex and RE2, so the oracle can
+    replay it)."""
+    pat = "(?i)href=[\"']([^\"'#][^\"']*)[\"']"
     return df.select(
         F.col(id_col),
         F.explode(
@@ -64,23 +73,41 @@ def extract_links(df: DataFrame, id_col: str = "doc_id",
 
 
 def pagerank_fixed(edges: DataFrame, iters: int = 3,
-                   damping_pct: int = 85) -> DataFrame:
+                   damping_pct: int = 85,
+                   redistribute_dangling: bool = False) -> DataFrame:
     """PageRank over (src, dst) edges with a FIXED iteration count and
-    FIXED-POINT integer arithmetic: ranks live in micro-units (total
-    mass 1,000,000) and every step is integer floor division, so the
-    distributed sum is associative and the result is bit-identical
-    across partitionings, cluster sizes, AND the DuckDB oracle — the
-    production answer to "floating-point reduction order makes my
-    PageRank non-reproducible".  r_{t+1}(v) = (15% of mass)/N +
-    (damping_pct * sum over in-edges of r_t(u) // outdeg(u)) // 100.
-    Dangling-node mass is dropped (documented classic variant).
+    FIXED-POINT integer arithmetic: ranks live in PER-NODE micro-units
+    (every node starts at 1,000,000; total mass is n x 1e6) and every
+    step is integer floor division, so the distributed sum is
+    associative and the result is bit-identical across partitionings,
+    cluster sizes, AND the DuckDB oracle — the production answer to
+    "floating-point reduction order makes my PageRank
+    non-reproducible".  The per-node scale means precision is
+    INDEPENDENT of graph size: at 10^9 nodes each rank still carries
+    six significant digits (a global 1e6 budget would floor every
+    share to 0 beyond ~1M nodes).
+    r_{t+1}(v) = 150,000 + (damping_pct * sum over in-edges of
+    r_t(u) // outdeg(u)) // 100  [+ dangling share, see below].
+
+    ``redistribute_dangling=True`` adds the classic correction for
+    sink pages (very common on real web graphs): each round the total
+    rank sitting on zero-outdegree nodes is summed (ONE scalar
+    aggregate per round — `iters` is small and fixed) and
+    (damping_pct * dangling_sum) // (100 * n) micro-units are handed
+    to every node, keeping total mass ~constant instead of shrinking
+    each round.  The integer share is computed driver-side in exact
+    Python arithmetic, then folded in as a literal, so the fixed-point
+    determinism guarantee is unchanged.  Default False = the
+    drop-dangling-mass variant, pinned because the round-6 oracle
+    replays it.
 
     Output: (node, rank_micro) for every node that appears as a src
-    or dst.  The unrolled-loop shape (`iters` is small and fixed)
-    keeps the plan static — no driver-side convergence checks; each
-    round is one join + one map-side-combinable sum, shuffling only
-    (node, long) pairs.  At deploy scale pre-partition `edges` by src
-    once and every round's join co-locates for free."""
+    or dst; empty edges => empty result (no driver-side division by
+    zero).  The unrolled-loop shape (`iters` is small and fixed) keeps
+    the plan static; each round is one join + one map-side-combinable
+    sum, shuffling only (node, long) pairs.  At deploy scale
+    pre-partition `edges` by src once and every round's join
+    co-locates for free."""
     edges = edges.select("src", "dst").localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col("src").alias("node"))
@@ -88,18 +115,33 @@ def pagerank_fixed(edges: DataFrame, iters: int = 3,
         .distinct()
         .localCheckpoint(eager=True)
     )
-    n = nodes.count()  # one scalar — drives the literal base share
-    base = 150_000 // n
-    init = 1_000_000 // n
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    ranks = nodes.select("node", F.lit(init).cast("long").alias("rank"))
+    if redistribute_dangling:
+        outdeg = outdeg.localCheckpoint(eager=True)
+        n = nodes.count()
+        if n == 0:
+            return nodes.select("node",
+                                F.lit(0).cast("long").alias("rank_micro"))
+        dangling = nodes.join(
+            outdeg.select(F.col("src").alias("node")), on="node",
+            how="left_anti").localCheckpoint(eager=True)
+    ranks = nodes.select("node", F.lit(1_000_000).cast("long").alias("rank"))
     for _ in range(iters):
+        share_lit = 0
+        if redistribute_dangling:
+            row = (dangling.join(ranks, on="node")
+                   .agg(F.coalesce(F.sum("rank"), F.lit(0)).alias("s"))
+                   .first())
+            share_lit = (damping_pct * int(row.s)) // (100 * n)
         contrib = (
             edges.join(ranks, edges.src == ranks.node)
             .join(outdeg, on="src")
             .select(
                 F.col("dst").alias("node"),
-                F.floor(F.col("rank") / F.col("outdeg")).alias("share"),
+                # `div` = exact integer division on longs — F.floor(a/b)
+                # goes through double and drifts past 2^53, which a hub
+                # node's rank exceeds on 1e9-node graphs
+                F.expr("rank div outdeg").alias("share"),
             )
             .groupBy("node")
             .agg(F.sum("share").alias("insum"))
@@ -108,10 +150,15 @@ def pagerank_fixed(edges: DataFrame, iters: int = 3,
             nodes.join(contrib, on="node", how="left")
             .select(
                 "node",
-                (F.lit(base)
-                 + F.floor(F.lit(damping_pct)
-                           * F.coalesce(F.col("insum"), F.lit(0))
-                           / F.lit(100))).cast("long").alias("rank"),
+                F.expr(
+                    f"cast({150_000 + share_lit} + ({damping_pct} * "
+                    "coalesce(insum, cast(0 as long))) div 100 as long)"
+                ).alias("rank"),
             )
         )
+        if redistribute_dangling:
+            # each round's dangling sum reads the PREVIOUS round's
+            # materialized ranks — checkpoint so the scalar action and
+            # the next round share one computation
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node", F.col("rank").alias("rank_micro"))
