@@ -3314,6 +3314,86 @@ SELECT node, rank AS rank_micro FROM r3 ORDER BY node
            r3=_pagerank_dangling_round("r2"))
 
 
+def _q_bpe_tokens(spark, sf_dir):
+    """Tokenizer-aware token counting (operators/bpe.py): fixed-vocab
+    greedy BPE expressed as a chain of literal string replaces over a
+    marked representation — applying merges in rank order as global
+    leftmost replaces IS classic fast-BPE encoding (a merge's inputs
+    only come from earlier merges), and literal replace() has
+    identical semantics in Spark and DuckDB, so the oracle replays the
+    SAME DEFAULT_MERGES literal.  Zero shuffle; pure codegen."""
+    from tool_documentsconverter_spark.operators.bpe import bpe_tokens
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bpe_tokens(docs).orderBy("doc_id")
+
+
+def _sql_bpe_segmented(expr: str) -> str:
+    from tool_documentsconverter_spark.operators.bpe import DEFAULT_MERGES
+
+    s = (
+        r"regexp_replace(regexp_replace(lower(coalesce(" + expr
+        + r", '')), '[^a-z0-9]+', '#', 'g'), '([a-z0-9])', ' \1 ', 'g')"
+    )
+    for x, y in DEFAULT_MERGES:
+        s = f"replace({s}, ' {x}  {y} ', ' {x}{y} ')"
+    return s
+
+
+_SQL_BPE_TOKENS = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(coalesce(text, '')),
+                                     '[a-z0-9]+')) AS BIGINT) AS n_words,
+         CAST(len(regexp_extract_all({_sql_bpe_segmented('text')},
+                                     '[a-z0-9]+')) AS BIGINT) AS n_bpe_tokens
+  FROM documents
+)
+SELECT doc_id, n_words, n_bpe_tokens,
+       round(n_bpe_tokens / nullif(n_words, 0), 6) AS bpe_per_word
+FROM t ORDER BY doc_id
+"""
+
+
+def _q_seq_packing_bpe(spark, sf_dir):
+    """`seq_packing` with the budget measured in fixed-vocab BPE
+    tokens instead of whitespace tokens (operators/textprep.py
+    pack_sequences(tokenizer='bpe')) — the window algebra is
+    unchanged, only the per-document cost column differs, and the
+    oracle replays the merge chain on the same vocab literal."""
+    from tool_documentsconverter_spark.operators.textprep import (
+        pack_sequences,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("source", "doc_id", "text")
+    return (
+        pack_sequences(docs, budget_tokens=256, part_col="source",
+                       tokenizer="bpe")
+        .orderBy("source", "doc_id")
+    )
+
+
+_SQL_SEQ_PACKING_BPE = f"""
+WITH t AS (
+  SELECT source, doc_id,
+         CAST(len(regexp_extract_all({_sql_bpe_segmented('text')},
+                                     '[a-z0-9]+')) AS BIGINT) AS n_tokens
+  FROM documents
+), w AS (
+  SELECT source, doc_id, n_tokens,
+         CAST(sum(n_tokens) OVER (
+                PARTITION BY source ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - n_tokens AS BIGINT) AS tok_offset
+  FROM t
+)
+SELECT source, doc_id, n_tokens, tok_offset,
+       CAST(floor(tok_offset / 256.0) AS BIGINT) AS bin
+FROM w
+ORDER BY source, doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver grades exactly the FIRST 50 entries
     # (CORRECTNESS r3/r4/r5 each contain exactly 50 rows).  The local
@@ -3345,6 +3425,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": _q_url_dedup,
         "pagerank": _q_pagerank,
         "pagerank_dangling": _q_pagerank_dangling,
+        "bpe_tokens": _q_bpe_tokens,
+        "seq_packing_bpe": _q_seq_packing_bpe,
         # parked in round 5 (driver-green r1-r4), back in the window:
         "text_wrap_md": _q_text_wrap,
         "sanitize_stem": _q_sanitize,
@@ -3455,6 +3537,8 @@ def oracle_sql() -> dict[str, str]:
         "url_dedup": _SQL_URL_DEDUP,
         "pagerank": _SQL_PAGERANK,
         "pagerank_dangling": _SQL_PAGERANK_DANGLING,
+        "bpe_tokens": _SQL_BPE_TOKENS,
+        "seq_packing_bpe": _SQL_SEQ_PACKING_BPE,
         "winnow_fingerprints": _SQL_WINNOW,
         "lm_perplexity": _SQL_LM_PERPLEXITY,
         "tfidf_terms": _SQL_TFIDF,

@@ -20,7 +20,9 @@ from .textstats import TOKEN_SPLIT_RE
 
 def chunk_documents(df: DataFrame, chunk_tokens: int = 128,
                     stride: int = 96, id_col: str = "doc_id",
-                    text_col: str = "text") -> DataFrame:
+                    text_col: str = "text",
+                    tokenizer: str = "whitespace",
+                    merges=None) -> DataFrame:
     """Sliding-window chunking: each document becomes
     ceil((n_tokens - chunk_tokens) / stride) + 1 overlapping chunks of
     at most ``chunk_tokens`` whitespace tokens, starting every
@@ -33,12 +35,64 @@ def chunk_documents(df: DataFrame, chunk_tokens: int = 128,
     partitioning), and the explode fan-out is bounded by
     n_tokens/stride per row.  Output: (id, chunk_idx, chunk_text,
     n_tokens) with chunk_idx dense from 0 per document.
+
+    ``tokenizer='bpe'`` measures ``chunk_tokens``/``stride`` in
+    fixed-vocab BPE tokens (``operators/bpe.py``) while boundaries
+    still land on whitespace words (words are atomic): a word belongs
+    to every chunk whose BPE window contains the word's START offset —
+    the same belongs-where-it-starts rule `pack_sequences` uses — so a
+    chunk's realized size can exceed the budget by at most its last
+    word.  This mode costs one bounded per-document window (the
+    per-word BPE cumsum) plus the per-(doc, chunk) rollup; empty
+    documents yield no chunks.
     """
     if stride <= 0 or chunk_tokens <= 0:
         raise ValueError("chunk_tokens and stride must be positive")
     if stride > chunk_tokens:
         raise ValueError(
             "stride > chunk_tokens would skip tokens between chunks")
+    if tokenizer == "bpe":
+        from .bpe import DEFAULT_MERGES, bpe_token_count
+
+        m = DEFAULT_MERGES if merges is None else merges
+        words = df.select(
+            F.col(id_col),
+            F.posexplode(
+                F.split(F.coalesce(F.col(text_col), F.lit("")),
+                        TOKEN_SPLIT_RE)
+            ).alias("pos", "w"),
+        ).where(F.col("w") != "")
+        w_doc = Window.partitionBy(id_col).orderBy("pos")
+        words = (
+            words.withColumn("_c", bpe_token_count(F.col("w"), m))
+            .withColumn(
+                "_b", (F.sum("_c").over(w_doc) - F.col("_c")).cast("long"))
+        )
+        kmin = F.greatest(
+            F.lit(0).cast("long"),
+            F.floor((F.col("_b") - chunk_tokens) / stride) + 1)
+        kmax = F.floor(F.col("_b") / stride)
+        memb = words.select(
+            id_col, "pos", "w", "_c",
+            F.explode(F.sequence(kmin.cast("int"), kmax.cast("int")))
+            .alias("chunk_idx"),
+        )
+        return (
+            memb.groupBy(id_col, "chunk_idx")
+            .agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                        lambda s: s["w"],
+                    ),
+                    " ",
+                ).alias("chunk_text"),
+                F.sum("_c").cast("int").alias("n_tokens"),
+            )
+            .select(id_col, "chunk_idx", "chunk_text", "n_tokens")
+        )
+    if tokenizer != "whitespace":
+        raise ValueError(f"unknown tokenizer {tokenizer!r}")
     toks = F.split(F.coalesce(F.col(text_col), F.lit("")), TOKEN_SPLIT_RE)
     n = F.size(toks)
     n_chunks = F.greatest(
@@ -103,7 +157,9 @@ def stratified_sample(df: DataFrame, strata_col: str, k: int,
 
 def pack_sequences(df: DataFrame, budget_tokens: int = 1024,
                    part_col: str = "source", id_col: str = "doc_id",
-                   text_col: str = "text") -> DataFrame:
+                   text_col: str = "text",
+                   tokenizer: str = "whitespace",
+                   merges=None) -> DataFrame:
     """Concat-and-split sequence packing: within each ``part_col``
     shard, documents are laid out in ``id_col`` order as one token
     stream and cut into fixed ``budget_tokens`` windows; a document
@@ -112,6 +168,13 @@ def pack_sequences(df: DataFrame, budget_tokens: int = 1024,
     training prep).  Output: one row per document with its bin and
     intra-shard token offset — the trainer's shuffle-and-load manifest.
 
+    ``tokenizer='bpe'`` measures the budget in fixed-vocab BPE tokens
+    (``operators/bpe.py``; pass ``merges`` to override
+    ``DEFAULT_MERGES``) — training budgets are BPE tokens, and
+    whitespace counts are 2-4x off on code/CJK-adjacent text.  The
+    packing algebra is unchanged: only the per-document cost column
+    differs, still pure codegen.
+
     Scale shape: one window per shard (the cumulative sum); shards are
     independent token streams, so the parallelism unit is the shard —
     pack within natural shards (source, date, bucket), never globally
@@ -119,8 +182,16 @@ def pack_sequences(df: DataFrame, budget_tokens: int = 1024,
     """
     if budget_tokens <= 0:
         raise ValueError("budget_tokens must be positive")
-    toks = F.size(
-        F.split(F.coalesce(F.col(text_col), F.lit("")), TOKEN_SPLIT_RE))
+    if tokenizer == "bpe":
+        from .bpe import DEFAULT_MERGES, bpe_token_count
+
+        toks = bpe_token_count(
+            F.col(text_col), DEFAULT_MERGES if merges is None else merges)
+    elif tokenizer == "whitespace":
+        toks = F.size(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), TOKEN_SPLIT_RE))
+    else:
+        raise ValueError(f"unknown tokenizer {tokenizer!r}")
     w = Window.partitionBy(part_col).orderBy(id_col)
     cum = F.sum(toks).over(w)
     start = (cum - toks).cast("bigint")
