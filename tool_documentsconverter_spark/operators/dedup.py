@@ -580,41 +580,71 @@ def bloom_contamination(df: DataFrame, bench: DataFrame, id_col: str,
     partials.  At 100 TB the benchmark side (thousands of docs) is
     the tiny side regardless; a bigger filter is just a bigger
     literal (8 KiB here; even 2^24 bits is a 2 MiB task constant,
-    the same order as any broadcast dim)."""
-    from functools import reduce
-    from operator import and_
+    the same order as any broadcast dim).
 
-    if not 1 <= n_hashes <= 4:
-        raise ValueError("n_hashes must be 1..4 (32-bit chunks of one md5)")
+    Split as :func:`fit_bloom_mask` (one bounded driver collect) +
+    :func:`bloom_probe` (pure codegen) so the streaming path
+    (streaming/bloom_stream.py) can fit the filter ONCE and probe
+    every micro-batch with the same literal."""
+    return bloom_probe(df, fit_bloom_mask(bench, id_col, text_col, k,
+                                          m_bits, n_hashes),
+                       id_col, text_col, k, n_hashes)
 
+
+def _bloom_bitpos(j: int, shingle_col, m_bits: int):
     # all positions come from ONE md5 per shingle — the 128-bit digest
     # carries four independent 32-bit chunks, so k<=4 hash functions
     # cost a single hash evaluation (measured 2.18s -> 0.9s at sf0.1
     # vs per-j salted digests); codegen CSE shares the repeated
     # top-level md5 subtree
-    def bitpos(j, shingle_col):
-        return (
-            F.conv(F.substring(F.md5(shingle_col), 1 + 8 * j, 8), 16, 10)
-            .cast("long") % m_bits
-        )
+    return (
+        F.conv(F.substring(F.md5(shingle_col), 1 + 8 * j, 8), 16, 10)
+        .cast("long") % m_bits
+    )
 
+
+def fit_bloom_mask(bench: DataFrame, id_col: str, text_col: str,
+                   k: int = 3, m_bits: int = 4096,
+                   n_hashes: int = 3) -> str:
+    """The bloom bitset of the benchmark's shingles as a '0'/'1'
+    string of length ``m_bits`` — the driver-side literal
+    :func:`bloom_probe` embeds.  One bounded collect (<= m_bits
+    rows)."""
+    if not 1 <= n_hashes <= 4:
+        raise ValueError("n_hashes must be 1..4 (32-bit chunks of one md5)")
     bench_bits = (
         shingles(bench, id_col, text_col, k)
         .select("shingle").distinct()
         .select(F.explode(F.array(
-            *[bitpos(j, F.col("shingle")) for j in range(n_hashes)]
+            *[_bloom_bitpos(j, F.col("shingle"), m_bits)
+              for j in range(n_hashes)]
         )).alias("bit"))
         .distinct()
     )
     present = [False] * m_bits
     for row in bench_bits.collect():  # bounded: <= m_bits rows
         present[row.bit] = True
-    mask = F.lit("".join("1" if b else "0" for b in present))
+    return "".join("1" if b else "0" for b in present)
 
+
+def bloom_probe(df: DataFrame, mask: str, id_col: str, text_col: str,
+                k: int = 3, n_hashes: int = 3) -> DataFrame:
+    """(id, flagged_shingles) for documents with >= 1 shingle whose
+    bits are ALL set in ``mask`` — the corpus half of
+    :func:`bloom_contamination`, pure codegen (the mask is a plan
+    literal), zero joins, one map-side-combinable groupBy."""
+    from functools import reduce
+    from operator import and_
+
+    if not 1 <= n_hashes <= 4:
+        raise ValueError("n_hashes must be 1..4 (32-bit chunks of one md5)")
+    m_bits = len(mask)
+    mask_lit = F.lit(mask)
     sh = shingles(df, id_col, text_col, k)
     hit = reduce(and_, [
-        mask.substr((bitpos(j, F.col("shingle")) + 1).cast("int"),
-                    F.lit(1)) == "1"
+        mask_lit.substr(
+            (_bloom_bitpos(j, F.col("shingle"), m_bits) + 1).cast("int"),
+            F.lit(1)) == "1"
         for j in range(n_hashes)
     ])
     return (
