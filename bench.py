@@ -114,6 +114,7 @@ def main() -> None:
         "tfidf_terms", "bm25_topk",
         "line_dedup", "c4_filters", "fuzzy_dedup_keep", "warc_extract",
         "bloom_contamination", "mixture_resample", "url_dedup", "pagerank",
+        "pagerank_dangling", "bpe_tokens", "seq_packing_bpe",
     ]:
         fn = qs[name]
         timed(name, lambda f=fn: f(spark, SF_DIR).count())

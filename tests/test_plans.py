@@ -103,19 +103,21 @@ def test_bucketed_tables_join_without_exchange(spark):
         spark.sql("DROP TABLE IF EXISTS bj_b")
 
 
-def test_lsh_guard_shares_exchange_at_runtime(spark, sf_dir):
-    """The mega-bucket guard is a window count over exactly the
-    self-join keys, so the signature shuffle must be computed once and
-    REUSED for the other join side — AQE applies exchange reuse at
-    runtime, so the assertion reads the executed plan, not the
-    initial one."""
+def test_lsh_guard_is_skew_safe_anti_join(spark, sf_dir):
+    """The mega-bucket guard is a combinable bucket-size aggregate +
+    anti-join against the over-cap list — NO window over the bucket
+    key (the rounds 3-6 window shape serialized a boilerplate
+    mega-bucket through one task; see dedup.py minhash_lsh_pairs
+    docstring).  The anti-join must not force a broadcast (AQE may
+    choose one at runtime when the over-cap list measures small)."""
     from tool_documentsconverter_spark.operators.dedup import minhash_lsh_pairs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     q = minhash_lsh_pairs(docs, "doc_id", "text")
     q.collect()
-    final = q._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
-    assert "ReusedExchange" in final
+    initial = explain(q)
+    assert "Window" not in initial
+    assert "LeftAnti" in initial
 
 
 def test_markdown_wrap_is_codegen(docs):

@@ -88,24 +88,25 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
                        n_bands: int = 8, k: int = 3) -> DataFrame:
     """(id, band, minhash): per band b, min over the document's
     shingles of md5(b || '|' || shingle).  One explode, one groupBy —
-    every band is an independent min aggregate (partial aggregation
-    pushes the min map-side, so the shuffle is n_docs x n_bands tiny
-    rows)."""
+    every band is an independent min aggregate COLUMN of the same
+    grouped aggregation (partial aggregation pushes all mins map-side,
+    so the shuffle is n_docs single rows carrying n_bands columns),
+    unpivoted to (band, minhash) rows with stack() afterwards.  The
+    round-6 shape exploded n_bands struct rows per shingle through a
+    Generate before aggregating — same md5 count, but n_bands x the
+    materialized rows; the aggregate-columns form measured 2.1-2.8x
+    faster (interleaved A/B, 200k docs, local[8]) with bit-identical
+    output."""
     sh = shingles(df, id_col, text_col, k)
-    banded = sh.select(
-        id_col,
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.md5(F.concat(b.cast("string"), F.lit("|"), F.col("shingle")))
-                    .alias("h"),
-                ),
-            )
-        ).alias("bh"),
-    ).select(id_col, F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
-    return banded.groupBy(id_col, "band").agg(F.min("h").alias("minhash"))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{b}|"), F.col("shingle"))))
+        .alias(f"_m{b}")
+        for b in range(n_bands)
+    ]
+    per_doc = sh.groupBy(id_col).agg(*aggs)
+    stack = ", ".join(f"{b}, _m{b}" for b in range(n_bands))
+    return per_doc.selectExpr(
+        id_col, f"stack({n_bands}, {stack}) as (band, minhash)")
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
@@ -123,22 +124,29 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     exact_dedup_keys; the guard keeps worst-case output at
     n_buckets * max_bucket^2 instead of m^2.
 
-    Guard cost: a window count over (band, minhash) + filter — ONE
-    pass over the signature table, no second computation of the
-    signature pipeline and no join.  The window's shuffle partitions
-    by exactly the keys the self-join below needs, so the exchange is
-    shared (ReusedExchange) rather than paid again; a separate
-    blacklist groupBy would recompute the shingle explode from the
-    scan for each consumer."""
-    from pyspark.sql import Window
-
+    Guard cost: a map-side-combinable bucket-size aggregate feeding an
+    anti-join of the signature rows against the OVER-CAP bucket list.
+    The rounds 3-6 shape was a window count sharing the self-join's
+    exchange — one pass, but the window partition IS the bucket, so a
+    boilerplate-driven mega-bucket (every real corpus has one: any
+    shared line puts the same min-shingle in millions of documents)
+    serialized through ONE task; measured on a 200k-doc corpus whose
+    boilerplate put ~30% of documents into one bucket, the window
+    guard made the pair stage the scaling bottleneck (1.6x from 2->8
+    cores).  The aggregate ships one partial per map task regardless
+    of bucket size, the over-cap list is usually tiny (no broadcast
+    hint — AQE decides, the dedup_survivors lesson), and the anti-join
+    probe is AQE-skew-splittable.  The signature subtree is computed
+    twice (once per join side) — narrow CPU, the price every
+    two-level rework in this repo pays for splittability."""
     sig = minhash_signatures(df, id_col, text_col, n_bands, k)
-    wb = Window.partitionBy("band", "minhash")
-    bounded = (
-        sig.withColumn("_bucket_n", F.count(F.lit(1)).over(wb))
-        .where(F.col("_bucket_n") <= max_bucket)
-        .drop("_bucket_n")
+    over_cap = (
+        sig.groupBy("band", "minhash")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") > max_bucket)
+        .select("band", "minhash")
     )
+    bounded = sig.join(over_cap, ["band", "minhash"], "left_anti")
     a = bounded.select(F.col(id_col).alias("id_a"), "band", "minhash")
     b = bounded.select(F.col(id_col).alias("id_b"), "band", "minhash")
     return (
@@ -180,14 +188,21 @@ def cluster_duplicates(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     changed = 0
-    for _ in range(max_iter):
+    for i in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.id_a == labels.id)
             .groupBy(F.col("id_b").alias("id"))
             .agg(F.min("label").alias("nlabel"))
         )
-        # carry the previous label through the update so convergence is
-        # a filter over the checkpointed result — no labels-vs-new join
+        # convergence rides the SAME action as the checkpoint: an
+        # Observation over the changed-label count is collected while
+        # localCheckpoint materializes the round, so each round costs
+        # ONE job instead of two (checkpoint + a separate count job) —
+        # per-round driver latency is the serial term that eats N->4N
+        # scaling on small-diameter graphs
+        from pyspark.sql import Observation
+
+        obs = Observation(f"cc_round_{i}")
         new_labels = (
             labels.join(neighbor_min, on="id", how="left")
             .select(
@@ -196,11 +211,11 @@ def cluster_duplicates(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                 F.least(F.col("label"),
                         F.coalesce("nlabel", F.col("label"))).alias("label"),
             )
+            .observe(obs, F.sum((F.col("label") != F.col("_old"))
+                                .cast("long")).alias("n_changed"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.where(F.col("label") != F.col("_old")).limit(1).count()
-        )
+        changed = int(obs.get["n_changed"] or 0)
         # localCheckpoint blocks are NOT in the CacheManager, so
         # Dataset.unpersist() cannot release the previous round's —
         # dropping the Python/JVM reference here is what lets the
@@ -429,8 +444,11 @@ def dup_ngram_stats(df: DataFrame, id_col: str = "doc_id",
 
     Scale shape: the document side explodes DISTINCT n-grams once
     (reusing `shingles`' slice+array_join idiom), immediately replaced
-    by their md5 so every corpus-wide exchange carries FIXED 32-byte
-    keys, never raw gram text.  Per-gram document counts are a
+    by their xxhash64 so every corpus-wide exchange carries FIXED
+    8-byte long keys, never raw gram text (the stats are key-agnostic
+    — any collision-free hash gives the same counts and the oracle
+    groups by the gram itself, so the md5-replayability rule the
+    signature operators need does not apply here).  Per-gram document counts are a
     TWO-LEVEL aggregate: a map-side-combinable groupBy builds the
     per-gram count table (partial aggregation means a gram shared by
     10M documents ships one partial per map task, not 10M rows to one
@@ -444,7 +462,7 @@ def dup_ngram_stats(df: DataFrame, id_col: str = "doc_id",
     counted rows, never 10M^2 pairs, so the operator is immune to the
     mega-cluster blowup that LSH needs `max_bucket` for."""
     sh = shingles(df, id_col, text_col, k=n).select(
-        F.col(id_col), F.md5("shingle").alias("_hk"))
+        F.col(id_col), F.xxhash64("shingle").alias("_hk"))
     counts = sh.groupBy("_hk").agg(F.count(F.lit(1)).alias("_docs_with"))
     tagged = sh.join(counts, on="_hk")
     return (
@@ -474,7 +492,9 @@ def line_dedup(df: DataFrame, id_col: str = "doc_id",
     dropped_frac).
 
     Scale shape: lines explode once; corpus-wide exchanges carry the
-    32-char md5 of the normalized line, never raw line text.  The
+    8-byte xxhash64 of the normalized line, never raw line text (the
+    drop decision is key-agnostic — the oracle groups by the line —
+    so the cheaper non-replayable hash is safe here).  The
     distinct-document count per line is a TWO-LEVEL aggregate —
     groupBy(line-hash).countDistinct(id) runs as partial aggregation
     (the ubiquitous cookie-banner line ships one partial per map
@@ -496,7 +516,7 @@ def line_dedup(df: DataFrame, id_col: str = "doc_id",
             F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
         ).alias("pos", "line"),
     )
-    tagged = lines.withColumn("_h", F.md5(_norm(F.col("line"))))
+    tagged = lines.withColumn("_h", F.xxhash64(_norm(F.col("line"))))
     counts = tagged.groupBy("_h").agg(
         F.countDistinct(id_col).alias("_docs"))
     tagged = tagged.join(counts, on="_h")

@@ -42,7 +42,7 @@ parquet keeps the sandbox honest without changing the algebra.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import minhash_signatures
@@ -204,12 +204,17 @@ def compact_pairs(spark: SparkSession, sig_dir: str, pairs_dir: str,
     # duplicates are exact rows and distinct removes them losslessly
     sig = (spark.read.parquet(sig_dir)
            .select(id_col, "band", "minhash").distinct())
-    wb = Window.partitionBy("band", "minhash")
-    bounded = (
-        sig.withColumn("_n", F.count(F.lit(1)).over(wb))
-        .where(F.col("_n") <= max_bucket)
-        .drop("_n")
+    # combinable bucket sizes + anti-join against the over-cap list,
+    # the same skew-safe guard shape as minhash_lsh_pairs (round 7):
+    # a boilerplate mega-bucket must never serialize through one
+    # window task
+    over_cap = (
+        sig.groupBy("band", "minhash")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") > max_bucket)
+        .select("band", "minhash")
     )
+    bounded = sig.join(over_cap, ["band", "minhash"], "left_anti")
     a = bounded.select(F.col(id_col).alias("id_a"), "band", "minhash")
     b = bounded.select(F.col(id_col).alias("id_b"), "band", "minhash")
     truth = (
