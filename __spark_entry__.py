@@ -28,6 +28,7 @@ from tool_documentsconverter_spark.operators import dedup as D
 from tool_documentsconverter_spark.operators import ranking as R
 from tool_documentsconverter_spark.operators import similarity as SIM
 from tool_documentsconverter_spark.operators import textstats as TS
+from tool_documentsconverter_spark.plans.fanout import fan_out
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -2242,7 +2243,11 @@ def _q_docx_rich(spark, sf_dir):
         make_rich_docx_bytes,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    # fan_out: the documents table is one parquet file -> one scan
+    # partition, which ran this whole per-row build+convert loop on a
+    # single core (guide §2.6 idle capacity); no-op on a real
+    # multi-split corpus scan
+    docs = fan_out(_t(spark, sf_dir, "documents").select("doc_id"))
 
     def conv(batches):
         for batch in batches:
@@ -2290,7 +2295,8 @@ def _q_pdf_layout(spark, sf_dir):
         make_two_column_pdf,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    # fan_out: single-file scan -> one partition otherwise (§2.6)
+    docs = fan_out(_t(spark, sf_dir, "documents").select("doc_id"))
 
     def conv(batches):
         for batch in batches:
@@ -2330,7 +2336,8 @@ def _q_md_pdf_roundtrip(spark, sf_dir):
 
     from tool_documentsconverter_spark import kernels as K
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # fan_out: single-file scan -> one partition otherwise (§2.6)
+    docs = fan_out(_t(spark, sf_dir, "documents").select("doc_id", "text"))
 
     def check(batches):
         for batch in batches:

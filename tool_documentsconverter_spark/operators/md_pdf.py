@@ -18,6 +18,8 @@ import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..plans.fanout import fan_out
+
 from ..kernels import _PDF_PAGE_LINES, markdown_to_pdf_bytes
 
 
@@ -54,7 +56,8 @@ def _render_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatc
 def render_markdown_pdf(df: DataFrame, stem_col: str = "stem",
                         md_col: str = "md") -> DataFrame:
     """(stem, md) -> (stem, pdf, pdf_bytes, n_pages, status)."""
-    src = df.select(F.col(stem_col).alias("stem"), F.col(md_col).alias("md"))
+    src = fan_out(
+        df.select(F.col(stem_col).alias("stem"), F.col(md_col).alias("md")))
     return src.mapInArrow(
         _render_batches,
         "stem string, pdf binary, pdf_bytes long, n_pages int, status string",

@@ -22,6 +22,7 @@ import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+
 MAGIC = {
     b"\xff\xd8\xff": "jpeg",
     b"\x89PNG": "png",
@@ -206,6 +207,11 @@ def extract_media_features(df: DataFrame, id_col: str = "media_id",
     ``use_stub="stdlib"`` pins the header-parse+hash-fallback decoder
     (both environment-independent — what the parity oracles replay;
     see _pick_decoder); default None probes for PIL executor-side."""
+    # NOT fan_out'd (round-8 A/B at sf1.0): the per-row header decode
+    # is ~10us, so repartitioning the payload column costs more than
+    # the extra cores recover on every media query (0.53s -> 0.70s
+    # measured for media_resize); a real corpus scan has enough
+    # splits anyway
     src = df.select(F.col(id_col).alias("media_id"),
                     F.col(payload_col).alias("payload"))
     return src.mapInArrow(
@@ -310,6 +316,11 @@ def resize_media(df: DataFrame, max_side: int = 256,
     oracle-replayed paths); the target-dimension math (`fit_within`)
     is shared by all paths and integer-only, so the `media_resize`
     oracle replays it exactly."""
+    # NOT fan_out'd (round-8 A/B at sf1.0): the per-row header decode
+    # is ~10us, so repartitioning the payload column costs more than
+    # the extra cores recover on every media query (0.53s -> 0.70s
+    # measured for media_resize); a real corpus scan has enough
+    # splits anyway
     src = df.select(F.col(id_col).alias("media_id"),
                     F.col(payload_col).alias("payload"))
     return src.mapInArrow(
@@ -371,6 +382,11 @@ def sample_frames(df: DataFrame, n_frames: int = 4,
     swaps in PyAV/ffmpeg inside `_frame_batches` only); the Spark
     surface — binary in, multiplied rows out of one Arrow stage,
     failure isolation per asset — is real and tested."""
+    # NOT fan_out'd (round-8 A/B at sf1.0): the per-row header decode
+    # is ~10us, so repartitioning the payload column costs more than
+    # the extra cores recover on every media query (0.53s -> 0.70s
+    # measured for media_resize); a real corpus scan has enough
+    # splits anyway
     src = df.select(F.col(id_col).alias("media_id"),
                     F.col(payload_col).alias("payload"))
     return src.mapInArrow(
@@ -514,6 +530,11 @@ def extract_audio_features(df: DataFrame, id_col: str = "media_id",
     one Arrow stage.  Entirely real — header fields, not a stub: the
     metadata a curation pipeline filters on never needs a decoder.
     Unparseable payloads isolate as status='failed' rows."""
+    # NOT fan_out'd (round-8 A/B at sf1.0): the per-row header decode
+    # is ~10us, so repartitioning the payload column costs more than
+    # the extra cores recover on every media query (0.53s -> 0.70s
+    # measured for media_resize); a real corpus scan has enough
+    # splits anyway
     src = df.select(F.col(id_col).alias("media_id"),
                     F.col(payload_col).alias("payload"))
     return src.mapInArrow(

@@ -21,6 +21,8 @@ import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..plans.fanout import fan_out
+
 from .. import kernels
 
 
@@ -60,8 +62,8 @@ def workbooks_to_csv(df: DataFrame, stem_col: str = "stem",
                      payload_col: str = "payload") -> DataFrame:
     """(stem, payload) -> one row per produced CSV:
     (stem, csv_name, csv_text, status, message)."""
-    src = df.select(F.col(stem_col).alias("stem"),
-                    F.col(payload_col).alias("payload"))
+    src = fan_out(df.select(F.col(stem_col).alias("stem"),
+                            F.col(payload_col).alias("payload")))
     return src.mapInArrow(
         _convert_batches,
         "stem string, csv_name string, csv_text string, "
