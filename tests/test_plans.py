@@ -276,8 +276,12 @@ def test_corpus_stat_operators_skew_safe_shapes(docs):
     plan = explain(D.dup_ngram_stats(docs))
     assert "Window" not in plan
     keys = re.findall(r"hashpartitioning\(([^,)]+)", plan)
+    # round-8 shape: gram-level exchanges carry the 8-byte xxhash64
+    # key (_hk); the only other keys are document-level (doc_id or
+    # the _owner doc id of a count-1 gram) — never raw gram text
     corpus_keys = {k for k in keys if not k.startswith("doc_id")}
-    assert corpus_keys and all(k.startswith("_hk") for k in corpus_keys)
+    assert corpus_keys and all(
+        k.startswith("_hk") or k.startswith("_owner") for k in corpus_keys)
 
     plan = explain(TS.lm_perplexity(docs))
     # the only Window runs over the AGGREGATED model table (its sum

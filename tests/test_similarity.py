@@ -115,6 +115,52 @@ def test_lsh_no_duplicate_pairs_across_bands(emb, queries):
     assert len(seen) == len(set(seen))
 
 
+def test_lsh_bucket_cap_truncates_to_smallest_ids(spark):
+    """Round-8 cap rework (two-level smallest-k, no bucket window):
+    with a bucket larger than max_bucket, only the max_bucket SMALLEST
+    corpus ids in that bucket may appear as candidates — bit-identical
+    to the old Window row_number <= max_bucket semantics."""
+    # one identical vector everywhere -> every row lands in the same
+    # (band, sig) bucket for every band
+    rows = [(i, [1.0] * 8) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    q = df.where(F.col("vec_id") == 0)
+    got = SIM.lsh_topk(df, q, k=50, n_bands=2, bits_per_band=3, dim=8,
+                       max_bucket=10).collect()
+    neighbors = {r.neighbor_id for r in got}
+    # bucket truncated to ids 0..9; id 0 is the query itself
+    assert neighbors == set(range(1, 10))
+    # and the cap must not disturb an under-cap run at all
+    got_uncapped = SIM.lsh_topk(df, q, k=50, n_bands=2, bits_per_band=3,
+                                dim=8, max_bucket=1000).collect()
+    assert {r.neighbor_id for r in got_uncapped} == set(range(1, 30))
+
+
+def test_lsh_bucket_cap_has_no_bucket_window(spark):
+    """The cap subplan is aggregate + anti/semi joins — the only
+    Window left in the whole lsh_topk plan is the per-query top-k
+    (partitioned by query_id, bounded by the query count)."""
+    rows = [(i, [1.0] * 8) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    q = df.where(F.col("vec_id") == 0)
+    out = SIM.lsh_topk(df, q, k=5, n_bands=2, bits_per_band=3, dim=8,
+                       max_bucket=10)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted")
+    import re
+
+    # every window spec must partition by query_id (the top-k), never
+    # by the bucket keys
+    parts = re.findall(r"windowspecdefinition\((\w+)#", plan)
+    assert parts and all(p == "query_id" for p in parts), parts
+    # WindowGroupLimit (the row_number pushdown) may only key on
+    # query_id either
+    wgl = re.findall(r"WindowGroupLimit\nInput[^\n]*\nArguments: \[(\w+)",
+                     plan)
+    assert all(p == "query_id" for p in wgl), wgl
+    assert "LeftAnti" in plan
+
+
 def test_ivf_empty_cell_reseeds_are_distinct(spark):
     # ADVICE r3: every empty cell in a Lloyd's round used to reseed to
     # the SAME farthest point, leaving duplicate centroids that can

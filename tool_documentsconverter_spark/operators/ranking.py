@@ -51,7 +51,12 @@ def tfidf_topk_terms(df: DataFrame, id_col: str = "doc_id",
     broadcast via cross join; the top-k is a row_number window over
     the id partition (bounded fan-in per document, never a global
     sort)."""
-    toks = df.select(F.col(id_col), F.explode(_tokens_col(text_col)).alias("term"))
+    # fan_out: the tokenize+explode+partial-count narrow stage
+    # otherwise runs on a single-file scan's 1-2 partitions (§2.6)
+    from ..plans.fanout import fan_out
+
+    toks = fan_out(df).select(
+        F.col(id_col), F.explode(_tokens_col(text_col)).alias("term"))
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     n_docs = df.agg(F.countDistinct(id_col).alias("n_docs"))
     dfreq = F.count(F.lit(1)).over(Window.partitionBy("term"))
@@ -98,7 +103,6 @@ def bm25_topk(df: DataFrame, query_terms: list[str],
     shuffle).  This is the plan shape a 10^12-row grep-like ranking
     job needs: two passes over the scan, nothing wider than one row
     ever moves."""
-    toks = _tokens_col(text_col)
     terms = sorted(set(query_terms))
 
     def _eq(term):
@@ -107,14 +111,31 @@ def bm25_topk(df: DataFrame, query_terms: list[str],
         # against positions, not the term)
         return lambda x: x == term
 
-    base = df.select(
+    # Round-8: (1) the token array is MATERIALIZED in its own
+    # projection — the old inline `toks` Column was re-evaluated once
+    # per referencing expression (dl + one per term = 4 tokenizer runs
+    # per row; F.filter is CodegenFallback, so codegen-level
+    # subexpression elimination never sees it); (2) `base` is
+    # localCheckpoint'd — it feeds BOTH the corpus-stats aggregate and
+    # the scoring projection, and without the checkpoint the whole
+    # scan+tokenize subtree ran twice; (3) fan_out spreads the
+    # tokenize across cores on a single-file scan (no-op at scale).
+    # base is (id, dl, tf_0..n) — a few longs per document, so the
+    # checkpoint is tiny at any corpus size.  Measured 4.8s -> 0.6s at
+    # sf1.0 with identical output.
+    from ..plans.fanout import fan_out
+
+    step = fan_out(df).select(
+        F.col(id_col), _tokens_col(text_col).alias("_tk"))
+    tk = F.col("_tk")
+    base = step.select(
         F.col(id_col),
-        F.size(toks).alias("dl"),
+        F.size(tk).alias("dl"),
         *[
-            F.size(F.filter(toks, _eq(t))).alias(f"tf_{i}")
+            F.size(F.filter(tk, _eq(t))).alias(f"tf_{i}")
             for i, t in enumerate(terms)
         ],
-    )
+    ).localCheckpoint(eager=True)
     stats = base.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.avg("dl").alias("avgdl"),

@@ -32,8 +32,18 @@ def get_spark(app: str = "tool-documentsconverter-spark",
     builder = SparkSession.builder.appName(app)
     # shuffle/spill scratch space: on a real cluster every executor
     # brings its own local disks (so scratch bandwidth scales with the
-    # cluster); the scaling harness points this at tmpfs to emulate that
+    # cluster).  Round-8: default to tmpfs when available instead of
+    # only under the scaling harness — thread-dump sampling showed
+    # shuffle map tasks spending ~45% of their busy samples in
+    # FileOutputStream.open0, because this sandbox's /tmp is an
+    # overlay fs where a file create costs ~400us (vs 14us on
+    # /dev/shm); every Exchange opens map_tasks x reduce_partitions
+    # shuffle files, so each exchange paid a ~0.5s fs tax.  A real
+    # deployment's local SSD behaves like the tmpfs, not like the
+    # overlay; SPARK_GRAFT_LOCAL_DIR still overrides.
     local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if not local_dir and os.access("/dev/shm", os.W_OK):
+        local_dir = "/dev/shm/spark-graft-local"
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)
     return (
