@@ -52,7 +52,16 @@ def get_spark(app: str = "tool-documentsconverter-spark",
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        # Round-8: larger row cap, BYTE-bounded.  4096-row batches were
+        # chosen to bound executor memory for fat payloads, but they
+        # tax the thin-payload majority with per-batch Python/Arrow
+        # overhead (extract_pipeline 4.3s -> 3.7s at sf1.0 with 64k
+        # rows).  Spark 4's maxBytesPerBatch provides the memory bound
+        # directly (32 MB/batch), so the row cap can be generous
+        # without risking the big-document case.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.sql.execution.arrow.maxBytesPerBatch",
+                str(32 * 1024 * 1024))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
