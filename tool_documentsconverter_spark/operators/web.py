@@ -117,24 +117,52 @@ def pagerank_fixed(edges: DataFrame, iters: int = 3,
     )
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     if redistribute_dangling:
+        # Round-8: the per-round dangling sum rides as an Observation
+        # on the SAME action that checkpoints the round's ranks (the
+        # cluster_duplicates convergence pattern) — each round costs
+        # ONE job instead of two (the old shape ran a separate
+        # dangling-join + first() scalar job per round; per-round
+        # driver latency is the serial term that eats N->4N scaling).
+        # `base` carries a _has_out flag so the dangling restriction
+        # is a conditional sum instead of a join.
+        from pyspark.sql import Observation
+
         outdeg = outdeg.localCheckpoint(eager=True)
         n = nodes.count()
         if n == 0:
             return nodes.select("node",
                                 F.lit(0).cast("long").alias("rank_micro"))
-        dangling = nodes.join(
-            outdeg.select(F.col("src").alias("node")), on="node",
-            how="left_anti").localCheckpoint(eager=True)
-    ranks = nodes.select("node", F.lit(1_000_000).cast("long").alias("rank"))
-    for _ in range(iters):
+        base = (
+            nodes.join(
+                outdeg.select(F.col("src").alias("node"),
+                              F.lit(True).alias("_has_out")),
+                on="node", how="left")
+            .select("node",
+                    F.coalesce("_has_out", F.lit(False)).alias("_has_out"))
+            .localCheckpoint(eager=True)
+        )
+        dang_metric = F.sum(
+            F.when(~F.col("_has_out"), F.col("rank")).otherwise(F.lit(0))
+        ).alias("dang")
+        obs = Observation("pr_dangling_init")
+        ranks = (
+            base.select("node",
+                        F.lit(1_000_000).cast("long").alias("rank"),
+                        "_has_out")
+            .observe(obs, dang_metric)
+            .localCheckpoint(eager=True)
+        )
+        dang_sum = int(obs.get["dang"] or 0)
+    else:
+        ranks = nodes.select("node",
+                             F.lit(1_000_000).cast("long").alias("rank"))
+    for i in range(iters):
         share_lit = 0
         if redistribute_dangling:
-            row = (dangling.join(ranks, on="node")
-                   .agg(F.coalesce(F.sum("rank"), F.lit(0)).alias("s"))
-                   .first())
-            share_lit = (damping_pct * int(row.s)) // (100 * n)
+            share_lit = (damping_pct * dang_sum) // (100 * n)
         contrib = (
-            edges.join(ranks, edges.src == ranks.node)
+            edges.join(ranks.select("node", "rank"),
+                       edges.src == F.col("node"))
             .join(outdeg, on="src")
             .select(
                 F.col("dst").alias("node"),
@@ -146,19 +174,20 @@ def pagerank_fixed(edges: DataFrame, iters: int = 3,
             .groupBy("node")
             .agg(F.sum("share").alias("insum"))
         )
-        ranks = (
-            nodes.join(contrib, on="node", how="left")
-            .select(
-                "node",
-                F.expr(
-                    f"cast({150_000 + share_lit} + ({damping_pct} * "
-                    "coalesce(insum, cast(0 as long))) div 100 as long)"
-                ).alias("rank"),
-            )
-        )
+        rank_expr = F.expr(
+            f"cast({150_000 + share_lit} + ({damping_pct} * "
+            "coalesce(insum, cast(0 as long))) div 100 as long)"
+        ).alias("rank")
         if redistribute_dangling:
-            # each round's dangling sum reads the PREVIOUS round's
-            # materialized ranks — checkpoint so the scalar action and
-            # the next round share one computation
-            ranks = ranks.localCheckpoint(eager=True)
+            obs = Observation(f"pr_dangling_{i}")
+            ranks = (
+                base.join(contrib, on="node", how="left")
+                .select("node", rank_expr, "_has_out")
+                .observe(obs, dang_metric)
+                .localCheckpoint(eager=True)
+            )
+            dang_sum = int(obs.get["dang"] or 0)
+        else:
+            ranks = nodes.join(contrib, on="node", how="left").select(
+                "node", rank_expr)
     return ranks.select("node", F.col("rank").alias("rank_micro"))

@@ -52,16 +52,14 @@ def get_spark(app: str = "tool-documentsconverter-spark",
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # Round-8: larger row cap, BYTE-bounded.  4096-row batches were
-        # chosen to bound executor memory for fat payloads, but they
-        # tax the thin-payload majority with per-batch Python/Arrow
-        # overhead (extract_pipeline 4.3s -> 3.7s at sf1.0 with 64k
-        # rows).  Spark 4's maxBytesPerBatch provides the memory bound
-        # directly (32 MB/batch), so the row cap can be generous
-        # without risking the big-document case.
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
-        .config("spark.sql.execution.arrow.maxBytesPerBatch",
-                str(32 * 1024 * 1024))
+        # 4096-row batches kept after a round-8 A/B: 64k-row batches
+        # (byte-bounded via Spark 4's maxBytesPerBatch) looked ~15%
+        # faster on a warm loop but regressed the bench's cold
+        # fixtures-mix extract badly (6.6s -> 12.5s min-of-2: one
+        # batch per partition loses all work smoothing and amplifies
+        # cold-start stragglers).  Small batches also stay the right
+        # memory bound for fat payloads (SURVEY.md O10).
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
