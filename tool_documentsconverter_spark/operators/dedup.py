@@ -375,7 +375,16 @@ def embedding_cosine_dups(df: DataFrame, id_col: str, text_col: str,
     instead, so each band can afford enough bits to stay selective."""
     from .similarity import banded_signatures, cosine
 
-    vecs = hashed_embedding(df, id_col, text_col, dim)
+    # Round-8: the hashed-embedding table is localCheckpoint'd — it
+    # feeds THREE consumers (the banded signatures and both sides of
+    # the scoring vector join), each of which otherwise recomputes the
+    # token explode + dim-way aggregate over the raw text.  The
+    # checkpoint rows are (id, dim doubles) ~ 136 B fixed width — far
+    # smaller than the text scan it replaces threefold, so the trade
+    # holds at any corpus size (a production pipeline persists its
+    # embedding table for the same reason).
+    vecs = hashed_embedding(df, id_col, text_col, dim).localCheckpoint(
+        eager=True)
     # same banding construction (and plane-index convention) as the
     # ANN path — one implementation, one SQL-oracle replay contract
     sigb = banded_signatures(vecs, id_col, n_bands, bits_per_band,
