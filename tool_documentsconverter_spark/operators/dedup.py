@@ -723,22 +723,39 @@ def bloom_probe(df: DataFrame, mask: str, id_col: str, text_col: str,
     if not 1 <= n_hashes <= 4:
         raise ValueError("n_hashes must be 1..4 (32-bit chunks of one md5)")
     m_bits = len(mask)
-    # round-8: the mask rides as an array<boolean> LITERAL probed with
-    # element_at — O(1) per probe.  The previous substr(mask, pos, 1)
-    # on the m_bits-char string literal walks the string to find the
-    # character offset, i.e. O(m_bits) PER PROBE: at sf1.0 that was
-    # 3 probes x 2.5M shingles x 4096 chars ~ 30G character steps and
-    # 3.2s of the query's 4.4s (measured; 64-char mask: 0.7s).  Same
-    # bits, same plan-constant contract — just an array constant
-    # instead of a string constant.
-    mask_arr = F.lit([c == "1" for c in mask])
+    # round-8: the mask rides as an array<long> LITERAL of 64-bit
+    # words probed with element_at + shiftright + bitwiseAND — true
+    # O(1) integer codegen per probe.  The previous substr(mask, pos,
+    # 1) on the m_bits-char string literal walks the string to find
+    # the character offset, i.e. O(m_bits) per probe (measured 3.0s at
+    # sf1.0 for the probe stage); an array<boolean> literal was also
+    # A/B'd and carries a large boxed-element overhead (2.4s at sf1.0,
+    # and a ~1.7s fixed cost that dominates at sf0.1).  The long-word
+    # form measured 1.1s / 0.4s at sf1.0 / sf0.1 with identical
+    # output.  Bit i of word i // 64, LSB-first; the words are a plan
+    # constant exactly like the string was (same streaming fit-once
+    # contract).
+    n_words = (m_bits + 63) // 64
+    words = []
+    for w in range(n_words):
+        v = 0
+        for b in range(min(64, m_bits - w * 64)):
+            if mask[w * 64 + b] == "1":
+                v |= 1 << b
+        if v >= 2 ** 63:  # two's-complement into a signed Spark long
+            v -= 2 ** 64
+        words.append(v)
+    mask_words = F.lit(words)
     sh = shingles(df, id_col, text_col, k)
-    hit = reduce(and_, [
-        F.element_at(
-            mask_arr,
-            (_bloom_bitpos(j, F.col("shingle"), m_bits) + 1).cast("int"))
-        for j in range(n_hashes)
-    ])
+
+    def _bit(j):
+        pos = _bloom_bitpos(j, F.col("shingle"), m_bits)
+        word = F.element_at(mask_words, (pos / F.lit(64)).cast("int") + 1)
+        return F.call_function(
+            "shiftright", word, (pos % 64).cast("int")
+        ).bitwiseAND(F.lit(1)) == 1
+
+    hit = reduce(and_, [_bit(j) for j in range(n_hashes)])
     return (
         sh.where(hit)
         .groupBy(id_col)
