@@ -311,7 +311,9 @@ the residual, not a property of the job's plan:
 The corpus-level SHUFFLE operators — the first whose exchanges carry
 corpus-wide data (lines, grams, MinHash signatures) — measured with
 the extraction job's protocol: same input, `local[{lo}]` (N) vs
-`local[{hi}]` (4N), taskset-pinned, memory 2g/core, fresh JVM per
+`local[{hi}]` (4N), taskset-pinned, memory 4g/core (the curation
+pipeline holds shuffle + localCheckpoint blocks + AQE broadcasts
+simultaneously), fresh JVM per
 level running the four-operator pipeline twice (cold + warm),
 {args.turns:,} synthetic documents (~8 lines each: corpus-wide
 boilerplate header/footer lines, a 1009-word pool so grams collide,

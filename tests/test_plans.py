@@ -266,7 +266,7 @@ def test_corpus_stat_operators_skew_safe_shapes(docs):
     shape put every occurrence of a hot key into ONE unbounded window
     frame and cannot be split).  NO window function may partition by
     an occurrence-level key; dup_ngram_stats' corpus exchanges must
-    carry the 32-byte md5 key, not raw gram text."""
+    carry the 8-byte xxhash64 key, not raw gram text."""
     import re
 
     from tool_documentsconverter_spark.operators import dedup as D

@@ -150,15 +150,23 @@ def main(argv=None) -> None:
     docs = spark.read.parquet(args.input).select("doc_id", "text")
     n_docs = docs.count()
     ops = [o for o in args.ops.split(",") if o]
-    stage_dir = (args.input.rstrip("/") + "_cleaned"
-                 if "line_dedup" in ops else None)
+    # ADVICE r7: only stage the cleaned corpus when line_dedup
+    # actually runs BEFORE fuzzy_dedup_keep — an ops list ordering
+    # fuzzy first would otherwise read a missing/stale *_cleaned
+    # parquet
+    stage_dir = None
+    if ("line_dedup" in ops and ("fuzzy_dedup_keep" not in ops
+                                 or ops.index("line_dedup")
+                                 < ops.index("fuzzy_dedup_keep"))):
+        stage_dir = args.input.rstrip("/") + "_cleaned"
     for _ in range(args.repeat):
         timings = run_ops(spark, docs, ops, stage_dir=stage_dir)
         summary = {
             "docs": n_docs,
             "ops": timings,
             "elapsed_sec": timings["total"],
-            "docs_per_sec": round(n_docs / timings["total"], 1),
+            # max(): the rounded total can be 0.0 on tiny inputs
+            "docs_per_sec": round(n_docs / max(timings["total"], 0.01), 1),
         }
         print(json.dumps(summary), flush=True)
     spark.stop()

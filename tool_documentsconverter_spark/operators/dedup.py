@@ -10,9 +10,18 @@ Design for 100 TB:
  - LSH candidate generation buckets by band hash; only same-bucket
    pairs are joined (equi-join, AQE-skew-splittable), never an O(n^2)
    cross join.
- - All hashing is md5 (hex string order) so the DuckDB oracle computes
-   identical signatures — xxhash64 would be faster but unverifiable;
-   swapping the hash is a one-line change at deploy time.
+ - Signature hashing (MinHash/SimHash/bloom) is md5 (hex string
+   order) so the DuckDB oracle computes identical signatures.
+   KEY-AGNOSTIC corpus keys (line_dedup, dup_ngram_stats — any
+   collision-free hash gives the same counts) use 64-bit xxhash64
+   instead: exchanges carry 8 bytes, not 32.  Collision budget for
+   the 64-bit keys (ADVICE r7): expected colliding pairs ~ n^2/2^65;
+   at 10^10 distinct lines that is ~3 collisions corpus-wide — each
+   merges two distinct lines' counts (worst case: one real line
+   wrongly dropped as boilerplate) — and at 10^12 distinct keys
+   (~3x10^4 collisions, still a 10^-8 fraction) swap line_dedup's key
+   for md5's 128 bits where a collision would change emitted
+   clean_text; the stats operators tolerate any realistic rate.
 """
 
 from __future__ import annotations

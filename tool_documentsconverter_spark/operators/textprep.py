@@ -34,7 +34,12 @@ def chunk_documents(df: DataFrame, chunk_tokens: int = 128,
     explode — no shuffle at all (chunk rows inherit the scan's
     partitioning), and the explode fan-out is bounded by
     n_tokens/stride per row.  Output: (id, chunk_idx, chunk_text,
-    n_tokens) with chunk_idx dense from 0 per document.
+    n_tokens) with chunk_idx dense from 0 per document in whitespace
+    mode (ADVICE r7: in bpe mode a single word whose BPE cost exceeds
+    chunk_tokens can leave index gaps — no word START lands in the
+    intermediate windows — and punctuation-only documents yield one
+    chunk with n_tokens=0; the density guarantee is scoped to
+    whitespace mode).
 
     ``tokenizer='bpe'`` measures ``chunk_tokens``/``stride`` in
     fixed-vocab BPE tokens (``operators/bpe.py``) while boundaries
