@@ -705,9 +705,12 @@ def fit_bloom_mask(bench: DataFrame, id_col: str, text_col: str,
     rows)."""
     if not 1 <= n_hashes <= 4:
         raise ValueError("n_hashes must be 1..4 (32-bit chunks of one md5)")
+    # round-8: no per-shingle distinct before the bit explode — a
+    # duplicate shingle's bit positions collapse in the bit-level
+    # distinct anyway, so the first distinct was a pure extra shuffle
+    # of the shingle strings (A/B: fit 0.46s -> 0.35s warm at sf1.0)
     bench_bits = (
         shingles(bench, id_col, text_col, k)
-        .select("shingle").distinct()
         .select(F.explode(F.array(
             *[_bloom_bitpos(j, F.col("shingle"), m_bits)
               for j in range(n_hashes)]
