@@ -2764,7 +2764,11 @@ def _synth_multiline(spark, sf_dir, punct: bool) -> DataFrame:
     The token array is materialized in its own projection and
     referenced twice downstream (size + the chunk lambda) so Catalyst
     does not re-split the document once per chunk."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # fan_out BEFORE the page build: the split+chunk+concat projection
+    # is the heavy narrow stage and would otherwise sit below the
+    # consumers' exchanges on the single-file scan's 1-2 partitions
+    # (round-8 §2.6 discipline; measured 0.88s -> 0.25s noop at sf1.0)
+    docs = fan_out(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     step = docs.select(
         "doc_id",
         F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))),
