@@ -294,6 +294,14 @@ def test_corpus_stat_operators_skew_safe_shapes(docs):
     plan = explain(RK.tfidf_topk_terms(docs))
     assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" not in plan
+    # round-8: df(term) attaches via a combinable aggregate + join,
+    # never a Window over the term partition (a corpus-wide term would
+    # own one unsplittable window task); the only window left is the
+    # per-document top-k rank
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            part_key = line.split("windowspecdefinition(")[1].split(",")[0]
+            assert not part_key.startswith("term")
 
 
 def test_bm25_is_two_scans_and_a_topk(docs):

@@ -43,14 +43,22 @@ def tfidf_topk_terms(df: DataFrame, id_col: str = "doc_id",
     weight).  Output: (id, term, rank, score), rank 1..k per document,
     ties broken by ascending term.
 
-    Scale shape: explode -> groupBy (id, term) is the one corpus-wide
+    Scale shape: explode -> groupBy (id, term) is the corpus-wide
     shuffle and it is map-side combinable (partial counts); df(term)
-    is a window COUNT over the term partition of the already-reduced
-    (id, term) rows — no join, and the exchange it needs is the
-    grouped output repartitioned once; N is a one-row aggregate
-    broadcast via cross join; the top-k is a row_number window over
-    the id partition (bounded fan-in per document, never a global
-    sort)."""
+    is a combinable groupBy(term) countDistinct(id) aggregate joined
+    back WITHOUT a broadcast hint — AQE broadcasts the vocab-bounded
+    side when it measures small and falls back to a skew-splittable
+    shuffle join otherwise.  (Round 8: this replaced a
+    `Window.partitionBy(term)` COUNT — the window partition IS the
+    term, so one corpus-wide term like "the" serialized n_docs rows
+    through a single task, the exact shape the round-7/8 skew purge
+    removed everywhere else; AQE can split a skewed JOIN partition but
+    never a window partition.  The tokenize+explode subtree is
+    computed twice — recompute beat both the window and a
+    localCheckpoint of the reduced tf table at sf1.0, the same verdict
+    as dup_ngram_stats.)  N is a one-row aggregate broadcast via cross
+    join; the top-k is a row_number window over the id partition
+    (bounded fan-in per document, never a global sort)."""
     # fan_out: the tokenize+explode+partial-count narrow stage
     # otherwise runs on a single-file scan's 1-2 partitions (§2.6)
     from ..plans.fanout import fan_out
@@ -59,9 +67,11 @@ def tfidf_topk_terms(df: DataFrame, id_col: str = "doc_id",
         F.col(id_col), F.explode(_tokens_col(text_col)).alias("term"))
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     n_docs = df.agg(F.countDistinct(id_col).alias("n_docs"))
-    dfreq = F.count(F.lit(1)).over(Window.partitionBy("term"))
+    # df(term) == number of distinct docs containing the term == the
+    # per-term row count of the (id, term)-distinct tf table
+    df_t = toks.groupBy("term").agg(F.countDistinct(id_col).alias("_df"))
     scored = (
-        tf.withColumn("_df", dfreq)
+        tf.join(df_t, "term")
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "score",
