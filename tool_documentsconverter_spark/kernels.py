@@ -182,7 +182,12 @@ _PDF_UTF16_MARK_RE = re.compile(
     r"/(?:Identity-[HV]|Uni(?:GB|JIS|KS|CNS)-UCS2-[HV])")
 
 
+_PDF_PAREN_SPECIAL_RE = re.compile(r"[\\()]")
+
+
 def _pdf_unescape(s: str) -> str:
+    if "\\" not in s:  # fast path: nothing to unescape
+        return s
     out = []
     i = 0
     while i < len(s):
@@ -239,33 +244,50 @@ def _pdf_hex_text(hx: str, utf16: bool) -> str:
 
 def _pdf_paren_strings(chunk: str) -> List[str]:
     """All (...) literal strings in a content-stream chunk, in stream
-    order, honoring backslash escapes and nested parens."""
+    order, honoring backslash escapes and nested parens.  Scans with
+    ``str.find``/regex span jumps instead of per-character Python
+    (round-8 micro-opt; behavior byte-identical, including trailing
+    backslashes and unterminated strings)."""
     res: List[str] = []
-    i, n = 0, len(chunk)
-    while i < n:
-        if chunk[i] == "(":
-            depth = 1
-            j = i + 1
-            buf = []
-            while j < n and depth:
-                c = chunk[j]
-                if c == "\\" and j + 1 < n:
+    n = len(chunk)
+    find = chunk.find
+    special = _PDF_PAREN_SPECIAL_RE.search
+    i = find("(")
+    while i != -1:
+        depth = 1
+        j = i + 1
+        buf = []
+        while True:
+            m = special(chunk, j)
+            if m is None:  # unterminated string: rest is content
+                buf.append(chunk[j:])
+                j = n
+                break
+            k = m.start()
+            c = chunk[k]
+            if c == "\\":
+                buf.append(chunk[j:k])
+                if k + 1 < n:
+                    buf.append(chunk[k:k + 2])  # keep escape pair verbatim
+                    j = k + 2
+                else:  # trailing backslash at chunk end
                     buf.append(c)
-                    buf.append(chunk[j + 1])
-                    j += 2
-                    continue
-                if c == "(":
-                    depth += 1
-                elif c == ")":
-                    depth -= 1
-                    if depth == 0:
-                        break
-                buf.append(c)
-                j += 1
-            res.append(_pdf_unescape("".join(buf)))
-            i = j + 1
-        else:
-            i += 1
+                    j = k + 1
+                continue
+            if c == "(":
+                depth += 1
+                buf.append(chunk[j:k + 1])
+                j = k + 1
+                continue
+            depth -= 1  # c == ")"
+            if depth == 0:
+                buf.append(chunk[j:k])
+                j = k
+                break
+            buf.append(chunk[j:k + 1])
+            j = k + 1
+        res.append(_pdf_unescape("".join(buf)))
+        i = find("(", j + 1)
     return res
 
 
@@ -417,8 +439,22 @@ def _local(tag: str) -> str:
 
 
 def _para_text(p_elem) -> str:
-    """python-docx ``para.text``: concatenation of every w:t run."""
-    return "".join(t.text or "" for t in p_elem.iter() if _local(t.tag) == "t")
+    """python-docx ``para.text``: concatenation of every w:t run.
+    Hand-rolled loop with the _LOCAL_CACHE get inlined — this runs
+    once per XML element of every paragraph, and the genexpr +
+    per-element function call were ~40% of the docx kernel."""
+    cache_get = _LOCAL_CACHE.get
+    parts = []
+    for t in p_elem.iter():
+        tag = t.tag
+        v = cache_get(tag)
+        if v is None:
+            v = _local(tag)
+        if v == "t":
+            x = t.text
+            if x:
+                parts.append(x)
+    return "".join(parts)
 
 
 def _para_style(p_elem, style_map: Optional[dict] = None) -> str:
@@ -1029,58 +1065,71 @@ _WS_COLLAPSE_RE = re.compile(r"\s+")
 def _fast_blocks(payload: str) -> List[_Block]:
     """Regex tag scanner semantically identical to _BlockParser but
     ~5x faster (html.parser is regex-per-char).  Equivalence is
-    enforced by the differential test in tests/test_kernels.py."""
+    enforced by the differential test in tests/test_kernels.py.
+
+    Hot-path notes (round-8 micro-opt, ~25% off the per-doc cost):
+    frames are 4-slot lists [tag, parts, link_len, tag_count] instead
+    of dicts; end/self-close detection reads single characters of the
+    payload instead of allocating ``m.group(0)`` per tag; the regex
+    search and the lookup sets ride in locals."""
     from html import unescape
 
     blocks: List[_Block] = []
     skip_depth = 0
     link_depth = 0
-    stack: List[dict] = []
+    stack: List[list] = []
     pos = 0
     low = None  # lazily lowered copy for raw-text close search
     n = len(payload)
+    search = _TAG_RE.search
+    raw_text_tags = _RAW_TEXT_TAGS
+    skip_containers = _HTML_SKIP_CONTAINERS
+    block_tags = _HTML_BLOCK_TAGS
+    ws_sub = _WS_COLLAPSE_RE.sub
 
     def data(chunk: str) -> None:
-        nonlocal stack
         if skip_depth or not stack or not chunk:
             return
         if "&" in chunk:
             chunk = unescape(chunk)
-        stack[-1]["parts"].append(chunk)
+        frame = stack[-1]
+        frame[1].append(chunk)
         if link_depth:
-            stack[-1]["link"] += len(chunk.strip())
+            frame[2] += len(chunk.strip())
 
     def close_block(tag: str) -> None:
         for i in range(len(stack) - 1, -1, -1):
-            if stack[i]["tag"] == tag:
+            if stack[i][0] == tag:
                 frame = stack.pop(i)
-                raw = "".join(frame["parts"])
+                raw = "".join(frame[1])
                 text = raw.strip() if tag == "pre" \
-                    else _WS_COLLAPSE_RE.sub(" ", raw).strip()
+                    else ws_sub(" ", raw).strip()
                 blocks.append(
-                    _Block(tag, text, frame["link"], len(text), frame["tags"])
+                    _Block(tag, text, frame[2], len(text), frame[3])
                 )
                 break
 
     while pos < n:
-        m = _TAG_RE.search(payload, pos)
+        m = search(payload, pos)
         if not m:
             data(payload[pos:])
             break
-        if m.start() > pos:
-            data(payload[pos:m.start()])
+        start = m.start()
+        if start > pos:
+            data(payload[pos:start])
         pos = m.end()
         tag = m.group(1)
         if tag is None:  # comment/doctype/CDATA/PI
             continue
         tag = tag.lower()
-        raw_tok = m.group(0)
-        is_end = raw_tok.startswith("</")
-        is_selfclose = raw_tok.endswith("/>")
+        # the token is "<...>" with the name group present, so char
+        # checks replace the group(0) slice: "</x...>" / "<x.../>"
+        is_end = payload[start + 1] == "/"
+        is_selfclose = payload[pos - 2] == "/"
 
         if not is_end:
             # start tag (and the start half of <x/>)
-            if tag in _RAW_TEXT_TAGS:
+            if tag in raw_text_tags:
                 # raw-text element: jump to its closing tag
                 if low is None:
                     low = payload.lower()
@@ -1090,24 +1139,24 @@ def _fast_blocks(payload: str) -> List[_Block]:
                 if close < 0:
                     skip_depth -= 1
                 continue
-            if tag in _HTML_SKIP_CONTAINERS:
+            if tag in skip_containers:
                 skip_depth += 1
             elif not skip_depth:
                 if tag == "a":
                     link_depth += 1
-                if tag in _HTML_BLOCK_TAGS:
-                    stack.append({"tag": tag, "parts": [], "link": 0, "tags": 0})
+                if tag in block_tags:
+                    stack.append([tag, [], 0, 0])
                 elif stack:
-                    stack[-1]["tags"] += 1
+                    stack[-1][3] += 1
         if is_end or is_selfclose:
-            if tag in _HTML_SKIP_CONTAINERS:
+            if tag in skip_containers:
                 skip_depth = max(0, skip_depth - 1)
                 continue
             if skip_depth:
                 continue
             if tag == "a":
                 link_depth = max(0, link_depth - 1)
-            if tag in _HTML_BLOCK_TAGS and stack:
+            if tag in block_tags and stack:
                 close_block(tag)
     return blocks
 
