@@ -176,16 +176,19 @@ _CTRL_MAP = {
 }
 
 
+# str.translate table equivalent to the old per-char loop: every
+# codepoint >= 0x20 passes through untouched (translate leaves
+# unmapped ordinals alone); control chars drop except the _CTRL_MAP
+# substitutions and the literal \n / \t, which pass through.
+_WORD_TRANSLATE = {o: None for o in range(0x20)}
+_WORD_TRANSLATE[0x0A] = "\n"
+_WORD_TRANSLATE[0x09] = "\t"
+_WORD_TRANSLATE.update(_CTRL_MAP)
+
+
 def _clean_word_text(s: str) -> str:
-    out: List[str] = []
-    for ch in s:
-        o = ord(ch)
-        if o >= 0x20 or ch == "\n" or ch == "\t":
-            out.append(ch)
-        elif o in _CTRL_MAP:
-            out.append(_CTRL_MAP[o])
-        # else: field chars (0x13/0x14/0x15), pic anchors etc -> drop
-    return "".join(out).rstrip("\n")
+    # field chars (0x13/0x14/0x15), pic anchors etc -> drop
+    return s.translate(_WORD_TRANSLATE).rstrip("\n")
 
 
 def _pieces_from_clx(clx: bytes) -> List[Tuple[int, int, int, bool]]:
