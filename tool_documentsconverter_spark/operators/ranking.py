@@ -43,33 +43,35 @@ def tfidf_topk_terms(df: DataFrame, id_col: str = "doc_id",
     weight).  Output: (id, term, rank, score), rank 1..k per document,
     ties broken by ascending term.
 
-    Scale shape: explode -> groupBy (id, term) is the corpus-wide
-    shuffle and it is map-side combinable (partial counts); df(term)
-    is a combinable groupBy(term) countDistinct(id) aggregate joined
-    back WITHOUT a broadcast hint — AQE broadcasts the vocab-bounded
-    side when it measures small and falls back to a skew-splittable
-    shuffle join otherwise.  (Round 8: this replaced a
+    Scale shape: explode -> groupBy (id, term) is the ONE corpus-wide
+    shuffle and it is map-side combinable (partial counts); the
+    reduced tf table is localCheckpoint'd (the bm25/lm_perplexity
+    materialize-once pattern) so df(term) — its per-term row count, a
+    combinable aggregate — reuses it instead of re-tokenizing, and
+    joins back WITHOUT a broadcast hint: AQE broadcasts the
+    vocab-bounded side when it measures small and falls back to a
+    skew-splittable shuffle join otherwise.  (Round 8: this replaced a
     `Window.partitionBy(term)` COUNT — the window partition IS the
-    term, so one corpus-wide term like "the" serialized n_docs rows
-    through a single task, the exact shape the round-7/8 skew purge
-    removed everywhere else; AQE can split a skewed JOIN partition but
-    never a window partition.  The tokenize+explode subtree is
-    computed twice — recompute beat both the window and a
-    localCheckpoint of the reduced tf table at sf1.0, the same verdict
-    as dup_ngram_stats.)  N is a one-row aggregate broadcast via cross
-    join; the top-k is a row_number window over the id partition
-    (bounded fan-in per document, never a global sort)."""
+    term, so one corpus-wide term like "the" serializes df("the") ~=
+    n_docs rows through a single task; AQE can split a skewed JOIN
+    partition but never a window partition.  Interleaved min-of-5 A/B
+    vs the window at sf0.1 and sf1.0 scale: 0.88/1.16s -> 0.87/1.20s,
+    i.e. bench-neutral, pure scale-safety.)  N is a one-row aggregate
+    broadcast via cross join; the top-k is a row_number window over
+    the id partition (bounded fan-in per document, never a global
+    sort)."""
     # fan_out: the tokenize+explode+partial-count narrow stage
     # otherwise runs on a single-file scan's 1-2 partitions (§2.6)
     from ..plans.fanout import fan_out
 
     toks = fan_out(df).select(
         F.col(id_col), F.explode(_tokens_col(text_col)).alias("term"))
-    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = (toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+          .localCheckpoint(eager=True))
     n_docs = df.agg(F.countDistinct(id_col).alias("n_docs"))
     # df(term) == number of distinct docs containing the term == the
     # per-term row count of the (id, term)-distinct tf table
-    df_t = toks.groupBy("term").agg(F.countDistinct(id_col).alias("_df"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
     scored = (
         tf.join(df_t, "term")
         .crossJoin(F.broadcast(n_docs))
